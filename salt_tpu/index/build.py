@@ -1,0 +1,395 @@
+"""SNP-aware index construction (host side).
+
+Replaces the reference's `salt-idx` (Index_src/index1.c) with a
+vectorized numpy build producing device-friendly arrays:
+
+  * `pac`      uint8[L]    2-bit genome codes, N -> deterministic random
+                           (Index_src/bntseq.c:178,222: srand48(11))
+  * `mixref`   uint8[L]    4-bit one-hot allele mask per position with SNP
+                           alternates OR-ed in (Index_src/mixRef.c:131-149)
+  * `lkt`      uint32[4^12+1]  12-mer prefix-sum lookup table
+                           (Index_src/LookUpTable.c:66-148, incl. the
+                           A-padded tail quirk)
+  * C-part BWT (bwt syms with in-band sentinel, L2 counts, full SA with
+    the reference's sa[0] = 0xFFFFFFFF quirk, bwt.c:66)
+  * R-part local-pattern text (localPattern.c ss_core_alt semantics),
+    backward-search BWT, and a per-rank genome-coordinate table that
+    reproduces Rbwt_back_bwt_sa (rbwt.c:316-333) with a single gather.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..constants import (
+    C_SENTINEL,
+    MAX_LOOKUP_LEN,
+    NST_NT4_TABLE,
+    NT5_4BIT_TABLE,
+    R_SENTINEL,
+    UINT32_MAX,
+    WIN_MAX_SNP_NUM,
+    BNS_RANDOM_SEED,
+    DEFAULT_L_SEED,
+)
+from ..io.fasta import read_records
+from ..io.snp import SnpBlock, read_snp_blocks, allele_codes
+from ..utils.rand48 import Rand48
+from .suffix import bwt_from_sa, suffix_array
+
+
+@dataclass
+class Contig:
+    name: str
+    anno: str
+    offset: int
+    length: int
+    n_ambs: int = 0
+
+
+@dataclass
+class SaltIndex:
+    """All arrays needed at alignment time."""
+
+    l_seed: int
+    contigs: List[Contig]
+    l_pac: int
+
+    pac: np.ndarray        # uint8[L] codes 0..3 (N randomized)
+    mixref: np.ndarray     # uint8[L] one-hot nibbles
+    lkt: np.ndarray        # uint32[4^12 + 1]
+
+    # C part (genome BWT)
+    cbwt: np.ndarray       # uint8[L+1], 0..3 + C_SENTINEL
+    c_l2: np.ndarray       # uint32[5]: L2[c] = # chars < c (BWA bwt->L2)
+    c_primary: int
+    csa: np.ndarray        # uint32[L+1] full SA; csa[0] = 0xFFFFFFFF quirk
+
+    # R part (local-pattern BWT, backward search flavor)
+    r_text_len: int
+    rbwt: np.ndarray       # uint8[T+1], 0..4 + R_SENTINEL
+    r_cumfreq: np.ndarray  # uint32[6]: cumulativeFreq[c] = # chars < c
+    r_primary: int
+    r_coord: np.ndarray    # uint32[T+1] genome coord per rank (or UINT32_MAX)
+
+    # kept for debugging / tests
+    r_text: Optional[np.ndarray] = None
+
+    def contig_arrays(self):
+        offs = np.array([c.offset for c in self.contigs], dtype=np.int64)
+        lens = np.array([c.length for c in self.contigs], dtype=np.int64)
+        return offs, lens
+
+
+def encode_seq(seq: str) -> np.ndarray:
+    """ASCII -> 2-bit-ish codes (A0 C1 G2 T3, '-'=5, other=4)."""
+    return NST_NT4_TABLE[np.frombuffer(seq.encode("latin1"), dtype=np.uint8)]
+
+
+def _randomize_ns(codes: np.ndarray, rng: Rand48) -> np.ndarray:
+    out = codes.copy()
+    amb = np.nonzero(codes >= 4)[0]
+    if len(amb):
+        vals = rng.lrand48_many(len(amb))
+        out[amb] = np.array(vals, dtype=np.uint64).astype(np.uint8) & 3
+    return out
+
+
+def build_lookup_table(pac: np.ndarray, k: int = MAX_LOOKUP_LEN) -> np.ndarray:
+    """12-mer prefix-sum table with the reference's tail quirk: after the
+    last full window it keeps left-shifting (A-padding) k more times,
+    counting each shifted value (LookUpTable.c:114-135)."""
+    n_item = (1 << (2 * k)) + 1
+    l_ref = len(pac)
+    if l_ref < k:
+        raise ValueError("reference shorter than lookup k-mer")
+    x = pac.astype(np.int64)
+    powers = 4 ** np.arange(k - 1, -1, -1, dtype=np.int64)
+    # rolling big-endian base-4 values of all full windows
+    kmers = np.convolve(x, powers[::-1], mode="valid") if False else None
+    # use cumulative trick instead: strided windows dot powers
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    win = sliding_window_view(x, k)
+    kmers = win @ powers  # shape (l_ref - k + 1,)
+    counts = np.zeros(n_item, dtype=np.uint32)
+    np.add.at(counts, kmers + 1, 1)
+    # tail: continue shifting in zeros k times from the last full window
+    mask = n_item - 2
+    it = int(kmers[-1])
+    for _ in range(k):
+        it = (it << 2) & mask
+        counts[it + 1] += 1
+    return np.cumsum(counts, dtype=np.uint32).astype(np.uint32)
+
+
+def lkt_lookup(lkt: np.ndarray, kmer: int) -> tuple[int, int]:
+    """SA interval [sp, ep] of a 12-mer (lookup.h:39-53)."""
+    return int(lkt[kmer]), int(lkt[kmer + 1]) - 1
+
+
+@dataclass
+class _Segment:
+    text_start: int     # offset of first char within the R text
+    length: int
+    genome_start: int   # anchor - length + 1
+    record: int         # .lp record (window) index owning this segment
+
+
+def _gen_local_patterns(
+    contig_seqs: List[str],
+    contig_names: List[str],
+    blocks: List[SnpBlock],
+    l_seed: int,
+):
+    """ss_core_alt (Index_src/localPattern.c:171-324).
+
+    Returns (text_chars: bytes, segments: List[_Segment]).  The text starts
+    with a lone '#' (first-record quirk, localPattern.c:269-271) and each
+    segment is terminated by '#'.
+    """
+    dist = l_seed - 1
+    out = bytearray()
+    segments: List[_Segment] = []
+    anchors: List[int] = []   # per-record (window) header anchor
+    first = True
+    tot_l = 0
+    bi = 0
+    for ci, seq in enumerate(contig_seqs):
+        l = len(seq)
+        if bi < len(blocks):
+            blk = blocks[bi]
+            bi += 1
+            if blk.chrom != contig_names[ci] or len(blk.pos) == 0:
+                tot_l += l
+                continue
+        else:
+            tot_l += l
+            continue
+        pos = blk.pos.astype(np.int64)
+        stype = blk.stype
+        nsnp = len(pos)
+        # ss_core_alt substitutes alleles into the contig sequence in place
+        # and never restores (localPattern.c:295), so later windows see the
+        # previous window's final combination at already-processed SNP
+        # positions — replicated via this mutable working copy.
+        work = np.frombuffer(seq.encode("latin1"), dtype=np.uint8).copy()
+        mid = 0
+        while mid < nsnp:
+            # comparisons are uint32 in the reference (localPattern.c:241,
+            # 255): a negative position delta wraps and fails `<= dist`
+            end = mid + 1
+            while end < nsnp and 0 <= pos[end] - pos[mid] <= dist:
+                end += 1
+            win_n = end - mid
+            if win_n > WIN_MAX_SNP_NUM:
+                mid += 1
+                continue
+            win_start = max(int(pos[mid]) - dist, 0)
+            if mid > 0 and 0 <= pos[mid] - pos[mid - 1] <= dist:
+                win_start = int(pos[mid - 1]) + 1
+            win_end = min(int(pos[mid]) + dist, l - 1)
+            anchor = int(pos[mid]) + tot_l + dist
+            seg_len = win_end - win_start + 1
+            alleles = [allele_codes(int(stype[j])) for j in range(mid, end)]
+            counts = [len(a) for a in alleles]
+            total = 1
+            for c in counts:
+                total *= c
+            snp_abs = pos[mid:end]
+            record = len(anchors)
+            anchors.append(anchor)
+            if first:
+                out.append(ord("#"))
+                first = False
+            base = "ACGTN"
+            for combo in range(total):
+                k = combo
+                f1 = 1
+                for j in range(win_n):
+                    f1 *= counts[j]
+                    f2 = total // f1
+                    ai = k // f2
+                    k -= ai * f2
+                    work[snp_abs[j]] = ord(base[alleles[j][ai]])
+                seg_start = len(out)
+                out.extend(work[win_start : win_end + 1].tobytes())
+                out.append(ord("#"))
+                segments.append(
+                    _Segment(
+                        text_start=seg_start,
+                        length=seg_len,
+                        # true genome start (the reference's anchor-based
+                        # arithmetic would give anchor-len+1, which drifts
+                        # when win_end is clamped at a contig end)
+                        genome_start=tot_l + win_start,
+                        record=record,
+                    )
+                )
+            mid += 1
+        tot_l += l
+    return bytes(out), segments, anchors
+
+
+def build_index(
+    fasta_path: str,
+    snp_path: str,
+    l_seed: int = DEFAULT_L_SEED,
+    keep_r_text: bool = False,
+    r_anchor_mode: str = "exact",
+) -> SaltIndex:
+    """Build the full alignment index.
+
+    r_anchor_mode:
+      * "exact" (default): R-part locate returns the true genome
+        coordinate of every local-pattern position — SNP-aware seeding
+        actually works.
+      * "reference_compat": reproduces the reference's buggy
+        '#'-anchor bookkeeping (Align_src/rbwt.c:424-475 `Rbwt_gen_sa`
+        direction=-1 assigns `sharp2Ri_array[i+1] - l_alt_seq` with the
+        index shifted by one window and an out-of-bounds read for the
+        last segment): every segment's coordinates come out 2 too low,
+        each window's last segment takes the NEXT window's anchor, and
+        the text's final segment reads past the anchor array (emulated
+        as 0, the observed glibc heap value).  Only useful for
+        bit-parity scoring against the reference binary.
+    """
+    contigs: List[Contig] = []
+    contig_seqs: List[str] = []
+    offset = 0
+    for rec in read_records(fasta_path):
+        contig_seqs.append(rec.seq)
+        contigs.append(
+            Contig(
+                name=rec.name,
+                anno=rec.comment or "(null)",
+                offset=offset,
+                length=len(rec.seq),
+            )
+        )
+        offset += len(rec.seq)
+    l_pac = offset
+    genome = "".join(contig_seqs)
+    raw_codes = encode_seq(genome)
+
+    # --- pac with deterministic N randomization (srand48(11)) ---
+    pac = _randomize_ns(raw_codes, Rand48(BNS_RANDOM_SEED))
+    # count amb holes per contig for parity bookkeeping
+    for ci, c in enumerate(contigs):
+        seg = raw_codes[c.offset : c.offset + c.length]
+        chars = np.frombuffer(genome.encode("latin1"), dtype=np.uint8)[
+            c.offset : c.offset + c.length
+        ]
+        amb = seg >= 4
+        if amb.any():
+            # runs of identical raw chars (bntseq.c:204-218)
+            idx = np.nonzero(amb)[0]
+            breaks = np.nonzero(
+                (np.diff(idx) != 1)
+                | (chars[idx[1:]] != chars[idx[:-1]])
+            )[0]
+            c.n_ambs = 1 + len(breaks)
+
+    # --- SNP blocks ---
+    blocks = list(read_snp_blocks(snp_path))
+
+    # --- mixRef (mixRef.c: FASTA chars -> nibbles, OR SNP alleles per
+    #     block applied to contigs in file order, no name check) ---
+    mixref = NT5_4BIT_TABLE[np.frombuffer(genome.encode("latin1"), dtype=np.uint8)].copy()
+    for ci, c in enumerate(contigs):
+        if ci >= len(blocks):
+            break
+        blk = blocks[ci]
+        if len(blk.pos) == 0:
+            continue
+        gpos = blk.pos.astype(np.int64) + c.offset
+        np.bitwise_or.at(mixref, gpos, blk.stype & 15)
+
+    # --- lookup table ---
+    lkt = build_lookup_table(pac)
+
+    # --- C part BWT + full SA ---
+    csa64 = suffix_array(pac)
+    cbwt, c_primary = bwt_from_sa(pac, csa64, C_SENTINEL)
+    counts = np.bincount(pac, minlength=4)[:4]
+    c_l2 = np.zeros(5, dtype=np.uint32)
+    c_l2[1:] = np.cumsum(counts).astype(np.uint32)
+    csa = csa64.astype(np.uint32)
+    csa[0] = UINT32_MAX  # bwt_cal_sa sets sa[0] = -1 (bwt.c:66)
+
+    # --- R part ---
+    text_bytes, segments, anchors = _gen_local_patterns(
+        contig_seqs, [c.name for c in contigs], blocks, l_seed
+    )
+    r_chars = np.frombuffer(text_bytes, dtype=np.uint8)
+    # nst_nt5_table: ACGT->0..3, '#'->4, N->5, other->7; codes >=5 randomized
+    nt5 = np.full(256, 7, dtype=np.uint8)
+    for ch, code in (("A", 0), ("C", 1), ("G", 2), ("T", 3), ("#", 4), ("N", 5)):
+        nt5[ord(ch)] = code
+        if ch.isalpha():
+            nt5[ord(ch.lower())] = code
+    r_codes = nt5[r_chars]
+    amb = np.nonzero(r_codes >= 5)[0]
+    if len(amb):
+        rng = Rand48(BNS_RANDOM_SEED)
+        vals = rng.lrand48_many(len(amb))
+        r_codes = r_codes.copy()
+        r_codes[amb] = np.array(vals, dtype=np.uint64).astype(np.uint8) & 3
+    r_text_len = len(r_codes)
+
+    rsa64 = suffix_array(r_codes)
+    rbwt, r_primary = bwt_from_sa(r_codes, rsa64, R_SENTINEL)
+    r_counts = np.bincount(r_codes, minlength=5)[:5]
+    r_cumfreq = np.zeros(6, dtype=np.uint32)
+    r_cumfreq[1:] = np.cumsum(r_counts).astype(np.uint32)
+
+    # per-text-position genome coordinate, then gather through the SA
+    pos2coord = np.full(r_text_len + 1, UINT32_MAX, dtype=np.uint32)
+    if r_anchor_mode == "reference_compat":
+        # sharp j precedes segment j (segment index == sharp index thanks
+        # to the leading '#'); the reference assigns that sharp the anchor
+        # of the record owning sharp j+2, minus (len_j + 1); coordinate of
+        # offset o is then that value + o.
+        sharp_record = [0] + [seg.record for seg in segments]  # record per sharp
+        n_sharp = len(sharp_record)
+        for s, seg in enumerate(segments):
+            j = s + 2
+            if j < n_sharp:
+                a = anchors[sharp_record[j]]
+            else:
+                a = 0  # arr[N] out-of-bounds read; 0 is the observed heap value
+            value = (a - seg.length - 1) & 0xFFFFFFFF
+            n = seg.length
+            pos2coord[seg.text_start : seg.text_start + n] = (
+                (value + np.arange(n, dtype=np.int64)) & 0xFFFFFFFF
+            ).astype(np.uint32)
+    else:
+        for seg in segments:
+            n = seg.length
+            pos2coord[seg.text_start : seg.text_start + n] = (
+                np.arange(seg.genome_start, seg.genome_start + n, dtype=np.int64)
+                .astype(np.uint32)
+            )
+    r_coord = pos2coord[rsa64]
+
+    return SaltIndex(
+        l_seed=l_seed,
+        contigs=contigs,
+        l_pac=l_pac,
+        pac=pac,
+        mixref=mixref,
+        lkt=lkt,
+        cbwt=cbwt,
+        c_l2=c_l2,
+        c_primary=c_primary,
+        csa=csa,
+        r_text_len=r_text_len,
+        rbwt=rbwt,
+        r_cumfreq=r_cumfreq,
+        r_primary=r_primary,
+        r_coord=r_coord,
+        r_text=r_codes if keep_r_text else None,
+    )

@@ -1,0 +1,116 @@
+"""Suffix-array construction for index building.
+
+The reference constructs its BWTs with the incremental BWT-SW algorithm
+(Index_src/bwt_gen.c, 4bit_bwt_gen.c, QSufSort.c).  We instead build a
+plain suffix array (text + implicit terminal sentinel, sentinel smallest)
+and derive BWT/rank tables from it — same outputs, simpler and fully
+vectorizable.
+
+Two engines:
+  * a numpy prefix-doubling sort (always available),
+  * an optional C++ SA-IS shared library (tools/sais.cpp) loaded via
+    ctypes for large genomes; built lazily by `tools/build_native.sh`.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_SAIS = None
+_SAIS_TRIED = False
+
+
+def _try_load_sais():
+    global _SAIS, _SAIS_TRIED
+    if _SAIS_TRIED:
+        return _SAIS
+    _SAIS_TRIED = True
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    for cand in (
+        os.path.join(here, "tools", "libsaltnative.so"),
+        os.path.join(os.path.dirname(__file__), "libsaltnative.so"),
+    ):
+        if os.path.exists(cand):
+            lib = ctypes.CDLL(cand)
+            lib.salt_sais_u8.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+            ]
+            lib.salt_sais_u8.restype = ctypes.c_int
+            _SAIS = lib
+            break
+    return _SAIS
+
+
+def suffix_array(text: np.ndarray) -> np.ndarray:
+    """Suffix array of `text + [sentinel]` where the sentinel is smaller
+    than every symbol.  Returns int64 positions of length len(text)+1;
+    sa[0] == len(text) always (the sentinel suffix).
+
+    `text` must be a uint8 array of small symbol codes (0..250ish).
+    """
+    n = len(text)
+    lib = _try_load_sais()
+    if lib is not None and n > 1 << 16:
+        sa = np.empty(n + 1, dtype=np.int64)
+        sa[0] = n
+        if n > 0:
+            body = np.ascontiguousarray(text, dtype=np.uint8)
+            out = np.empty(n, dtype=np.int64)
+            rc = lib.salt_sais_u8(
+                body.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                np.int64(n),
+            )
+            if rc != 0:
+                raise RuntimeError("salt_sais_u8 failed")
+            sa[1:] = out
+        return sa
+    return _suffix_array_doubling(text)
+
+
+def _suffix_array_doubling(text: np.ndarray) -> np.ndarray:
+    n = len(text)
+    if n == 0:
+        return np.zeros(1, dtype=np.int64)
+    # rank 0 reserved for the sentinel; shift real symbols by +1
+    rank = np.zeros(n + 1, dtype=np.int64)
+    rank[:n] = text.astype(np.int64) + 1
+    k = 1
+    idx = np.arange(n + 1, dtype=np.int64)
+    while True:
+        second = np.zeros(n + 1, dtype=np.int64)
+        src = idx + k
+        valid = src <= n
+        second[valid] = rank[src[valid]]
+        order = np.lexsort((second, rank))
+        new_rank = np.zeros(n + 1, dtype=np.int64)
+        key_r = rank[order]
+        key_s = second[order]
+        neq = np.ones(n + 1, dtype=np.int64)
+        neq[1:] = (key_r[1:] != key_r[:-1]) | (key_s[1:] != key_s[:-1])
+        ranks_sorted = np.cumsum(neq) - 1
+        new_rank[order] = ranks_sorted
+        rank = new_rank
+        if ranks_sorted[-1] == n:
+            return order
+        k <<= 1
+
+
+def bwt_from_sa(text: np.ndarray, sa: np.ndarray, sentinel_code: int) -> tuple[np.ndarray, int]:
+    """BWT symbol array over text+sentinel, keeping the sentinel in-band.
+
+    Returns (bwt_syms, primary) where bwt_syms[r] = text[sa[r]-1] for
+    sa[r] > 0 and bwt_syms[primary] = sentinel_code for the row with
+    sa[r] == 0.  `primary` equals the reference's inverseSa0 / bwt->primary.
+    """
+    prev = sa - 1
+    primary = int(np.nonzero(sa == 0)[0][0])
+    prev_clip = np.where(prev < 0, 0, prev)
+    bwt = text[prev_clip].astype(np.uint8)
+    bwt[primary] = sentinel_code
+    return bwt, primary
