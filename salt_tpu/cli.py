@@ -1,0 +1,99 @@
+"""Command-line entry points: `salt-tpu idx`, `salt-tpu aln`.
+
+Option surface mirrors the reference CLIs (Align_src/aln.c:102-228,
+Index_src/index1.c:46-66) with the reference's defaults.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    ap = argparse.ArgumentParser(prog="salt-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    ix = sub.add_parser("idx", help="build SNP-aware index")
+    ix.add_argument("-k", "--seed-len", type=int, default=25)
+    ix.add_argument("--compat-rpart", action="store_true",
+                    help="reproduce the reference's broken R-part anchors")
+    ix.add_argument("ref_fa")
+    ix.add_argument("snp_file")
+    ix.add_argument("prefix")
+
+    al = sub.add_parser("aln", help="align reads -> SAM on stdout")
+    al.add_argument("-t", "--threads", type=int, default=1)
+    al.add_argument("-n", "--num", type=int, default=-1)
+    al.add_argument("-g", "--group", default=None)
+    al.add_argument("-l", "--read-length", type=int, default=100)
+    al.add_argument("-c", "--xa-cigar", action="store_true")
+    al.add_argument("-d", "--md", action="store_true")
+    al.add_argument("-r", "--overlap", type=int, default=-1)
+    al.add_argument("-s", "--max-seed", type=int, default=50)
+    al.add_argument("-m", "--max-locate", type=int, default=1000)
+    al.add_argument("-p", "--pe", action="store_true")
+    al.add_argument("-a", "--min-tlen", type=int, default=250)
+    al.add_argument("-b", "--max-tlen", type=int, default=550)
+    al.add_argument("-e", "--sw", action="store_true")
+    al.add_argument("--batch-size", type=int, default=4096)
+    al.add_argument("index_prefix")
+    al.add_argument("read1")
+    al.add_argument("read2", nargs="?")
+
+    args = ap.parse_args(argv)
+    if args.cmd == "idx":
+        from .index.build import build_index
+        from .index.store import save_index
+
+        idx = build_index(
+            args.ref_fa,
+            args.snp_file,
+            l_seed=args.seed_len,
+            r_anchor_mode="reference_compat" if args.compat_rpart else "exact",
+        )
+        save_index(idx, args.prefix)
+        return 0
+
+    if args.cmd == "aln":
+        from .index.store import load_index
+        from .pipeline.engine import SEAligner, SEOptions
+
+        idx = load_index(args.index_prefix)
+        l_overlap = args.overlap if args.overlap > 0 else idx.l_seed
+        if args.pe:
+            from .pipeline.pe_engine import PEAligner, PEOptions
+
+            opts = PEOptions(
+                l_overlap=l_overlap,
+                max_seed=args.max_seed,
+                max_locate=args.max_locate,
+                min_tlen=args.min_tlen,
+                max_tlen=args.max_tlen,
+                print_xa_cigar=args.xa_cigar,
+                print_nm_md=args.md,
+                rg_id=args.group,
+                batch_size=args.batch_size,
+            )
+            al = PEAligner(idx, opts)
+            al.align_files(args.read1, args.read2, sys.stdout,
+                           cmd=" ".join(["salt-tpu"] + argv))
+        else:
+            opts = SEOptions(
+                l_overlap=l_overlap,
+                max_seed=args.max_seed,
+                max_locate=args.max_locate,
+                print_xa_cigar=args.xa_cigar,
+                print_nm_md=args.md,
+                rg_id=args.group,
+                batch_size=args.batch_size,
+            )
+            al = SEAligner(idx, opts)
+            al.align_file(args.read1, sys.stdout,
+                          cmd=" ".join(["salt-tpu"] + argv))
+        return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

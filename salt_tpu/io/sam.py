@@ -1,0 +1,195 @@
+"""SAM emission, byte-for-byte compatible with Align_src/sam.c.
+
+Header (aln_samhead, sam.c:56-84), SE records (aln_samse, sam.c:87-182),
+XA alternate-hit tag (sam_add_xa, sam.c:186-240), MD/NM and the custom
+XV tag listing read offsets that matched a known SNP allele
+(sam_add_md_nm, sam.c:246-328).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..constants import UINT32_MAX
+from ..index.build import SaltIndex
+
+BASES = "ACGTN"
+
+SAM_PAIRED = 0x1
+SAM_PROPER = 0x2
+SAM_UNMAPPED = 0x4
+SAM_MATE_UNMAPPED = 0x8
+SAM_REVERSE = 0x10
+SAM_MATE_REVERSE = 0x20
+SAM_READ1 = 0x40
+SAM_READ2 = 0x80
+
+
+def sam_header(index: SaltIndex, cmd: str, rg_id: Optional[str]) -> str:
+    out = ["@HD\tVN:ec1fec2\tSO:unsorted"]
+    for c in index.contigs:
+        out.append(f"@SQ\tSN:{c.name}\tLN:{c.length}")
+    # the reference prints the @RG line unconditionally with a NULL id
+    out.append(f"@RG\tID:{rg_id if rg_id is not None else '(null)'}")
+    t = time.localtime()
+    out.append(
+        f"@PG\tID:snpaln\tPN:snpaln\tCL:\"{cmd}\"\tDS:{t.tm_year}-{t.tm_mon}-{t.tm_mday}\tVN:0.1beta"
+    )
+    return "\n".join(out)
+
+
+def coor_pac2real(offsets: np.ndarray, n_seqs: int, pos: int) -> int:
+    """bns_coor_pac2real binary search (Align_src/bntseq.c:269-280)."""
+    left, mid, right = 0, 0, n_seqs
+    while left < right:
+        mid = (left + right) >> 1
+        if pos >= offsets[mid]:
+            if mid == n_seqs - 1:
+                break
+            if pos < offsets[mid + 1]:
+                break
+            left = mid + 1
+        else:
+            right = mid
+    return mid
+
+
+def seq_to_str(codes: np.ndarray) -> str:
+    return "".join(BASES[min(c, 4)] for c in codes)
+
+
+def emit_se(
+    index: SaltIndex,
+    name: str,
+    seq: np.ndarray,
+    rseq: np.ndarray,
+    qual: Optional[str],
+    pos: int,
+    strand: int,
+    mapq: int,
+    cigar: str,
+    xa: str,
+    print_nm_md: bool,
+    rg_id: Optional[str],
+    seq_start: int = 0,
+) -> str:
+    """One SE SAM record (no trailing newline), aln_samse parity."""
+    l_seq = len(seq)
+    if pos == UINT32_MAX:
+        s = [name, "4", "*\t0\t0\t*\t*\t0\t0", seq_to_str(seq)]
+        s.append(qual if qual else "*")
+        return "\t".join(s)
+    offsets = np.array([c.offset for c in index.contigs])
+    rid = coor_pac2real(offsets, len(index.contigs), pos)
+    flag = SAM_REVERSE if strand else 0
+    out = [
+        name,
+        str(flag),
+        index.contigs[rid].name,
+        str(pos - index.contigs[rid].offset + 1),
+        str(mapq),
+        cigar + "\t*\t0\t0",
+    ]
+    if strand:
+        out.append(seq_to_str(rseq))
+        out.append(qual[::-1] if qual else "*")
+    else:
+        out.append(seq_to_str(seq))
+        out.append(qual if qual else "*")
+    rec = "\t".join(out)
+    if xa:
+        rec += xa
+    if print_nm_md:
+        rec += md_nm_tag(index, pos, strand, seq, rseq, cigar, seq_start)
+    if rg_id is not None:
+        rec += f"\tRG:Z:{rg_id}"
+    return rec
+
+
+def build_xa(
+    index: SaltIndex,
+    primary_pos: int,
+    l_seq: int,
+    hits,  # list of (strand, pos, n_diff, cigar_str or None)
+    print_cigar: bool,
+) -> str:
+    """XA:Z tag (sam_add_xa).  `hits` must already be the recorded hit
+    lists in strand-0-then-1 order; entries at primary_pos are skipped."""
+    if not hits:
+        return ""
+    offsets = np.array([c.offset for c in index.contigs])
+    parts = []
+    for strand, pos, n_diff, cig in hits:
+        if pos == primary_pos:
+            continue
+        rid = coor_pac2real(offsets, len(index.contigs), pos)
+        local = pos - index.contigs[rid].offset + 1
+        cigar_field = (cig if cig is not None else f"{l_seq}M") if print_cigar else "*"
+        parts.append(
+            f"{index.contigs[rid].name},{'+-'[strand]}{local},{cigar_field},{n_diff};"
+        )
+    if not parts:
+        return ""
+    return "\tXA:Z:" + "".join(parts)
+
+
+def md_nm_tag(
+    index: SaltIndex,
+    pos: int,
+    strand: int,
+    seq: np.ndarray,
+    rseq: np.ndarray,
+    cigar: str,
+    seq_start: int,
+) -> str:
+    """MD/NM + XV tag (sam_add_md_nm, sam.c:246-328)."""
+    import re
+
+    pac = index.pac
+    mix = index.mixref
+    ref_pos = pos
+    s = rseq if strand else seq
+    si = seq_start
+    nm = 0
+    n_match = 0
+    md = []
+    rs: List[int] = []
+    for count, op in re.findall(r"(\d+)([MIDS])", cigar):
+        n = int(count)
+        if op == "M":
+            for _ in range(n):
+                bt = int(pac[ref_pos])
+                if bt == s[si]:
+                    n_match += 1
+                else:
+                    if (int(mix[ref_pos]) & (1 << int(s[si]))) != 0 and len(rs) < 64:
+                        rs.append(si - seq_start)
+                    nm += 1
+                    if n_match != 0:
+                        md.append(str(n_match))
+                    n_match = 0
+                    md.append(BASES[min(bt, 4)])
+                ref_pos += 1
+                si += 1
+        elif op == "I":
+            nm += n
+            si += n
+        elif op == "D":
+            if n_match != 0:
+                md.append(str(n_match))
+            n_match = 0
+            nm += n
+            md.append("^")
+            for _ in range(n):
+                md.append(BASES[min(int(pac[ref_pos]), 4)])
+                ref_pos += 1
+        # 'S': nothing
+    if n_match != 0:
+        md.append(str(n_match))
+    tag = f"\tMD:Z:{''.join(md)}\tNM:i:{nm}"
+    if rs:
+        tag += "\tXV:i:" + ",".join(str(x) for x in rs)
+    return tag

@@ -1,0 +1,116 @@
+"""Batched candidate location (alnse_locate_alt, Align_src/alnse.c:633-731).
+
+The reference LF-walks every SA rank to a sampled checkpoint (bwt_sa,
+bwt.c:89-102) or to a '#' anchor (rbwt.c:316-333).  We instead store the
+full SA / coordinate tables so each locate is one gather; the sequential
+per-strand cap (`max_locate` pushes, where only in-range positions count
+as pushes) is reproduced with prefix sums over a fixed slot capacity.
+
+Ordering matches the reference: C seeds first, then R seeds, each group
+sorted ascending by interval width (ks_introsort_sai, alnse.c:307-308 —
+we sort stably; the reference's introsort may reorder equal widths,
+which can matter only when the locate cap truncates).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import MAX_LOC_POS, UINT32_MAX
+from .seed import Seeds
+
+
+class Loci(NamedTuple):
+    pos: jnp.ndarray      # uint32 (B, CAP) candidate positions
+    pushed: jnp.ndarray   # bool   (B, CAP) slot holds a pushed locus
+
+
+def locate(
+    c_seeds: Seeds,
+    r_seeds: Seeds,
+    csa: jnp.ndarray,       # uint32 [Lc+1]
+    r_coord: jnp.ndarray,   # uint32 [Tr+1]
+    l_seq,                  # int32 () or scalar: read length
+    l_mref: int,
+    max_locate: int,
+    cap: int,
+) -> Loci:
+    """Returns located candidate positions per read, sorted ascending.
+
+    Push rules mirror alnse_locate_alt exactly (uint32 arithmetic):
+      C locus pushed  iff  uint32(pos + l_seq) <= l_mref          (:673)
+      R locus pushed  iff  pos <= l_mref and uint32(pos+l_seq) <= l_mref  (:717)
+    and pushes stop after `max_locate` of them (:678,:719).
+    """
+    B, S = c_seeds.sp.shape
+
+    def prep(seeds: Seeds, is_r: bool):
+        width = seeds.ep - seeds.sp  # can be negative for invalid seeds
+        count = jnp.where(seeds.valid, width + 1, 0)
+        if is_r:
+            n_skip = jnp.maximum((width + 1) // MAX_LOC_POS, 1)
+            count = jnp.where(seeds.valid, width // n_skip + 1, 0)
+        else:
+            n_skip = jnp.ones_like(width)
+        order = jnp.argsort(jnp.where(seeds.valid, width, jnp.int32(2**30)),
+                            axis=-1, stable=True)
+        take = lambda a: jnp.take_along_axis(a, order, axis=-1)
+        return take(seeds.sp), take(seeds.offset), take(count), take(n_skip)
+
+    sp_c, off_c, cnt_c, skip_c = prep(c_seeds, False)
+    sp_r, off_r, cnt_r, skip_r = prep(r_seeds, True)
+
+    # concatenated C-then-R seed stream per read
+    sp = jnp.concatenate([sp_c, sp_r], axis=-1)          # (B, 2S)
+    off = jnp.concatenate([off_c, off_r], axis=-1)
+    cnt = jnp.concatenate([cnt_c, cnt_r], axis=-1)
+    skip = jnp.concatenate([skip_c, skip_r], axis=-1)
+    is_r = jnp.concatenate(
+        [jnp.zeros((B, S), bool), jnp.ones((B, S), bool)], axis=-1
+    )
+
+    cum = jnp.cumsum(cnt, axis=-1)                        # inclusive
+    total = cum[:, -1]
+    cum_ex = cum - cnt                                    # exclusive
+
+    # slot t -> seed index via searchsorted on the inclusive cumsum
+    slots = jnp.arange(cap, dtype=jnp.int32)
+    seed_idx = jax.vmap(lambda c: jnp.searchsorted(c, slots, side="right"))(cum)
+    seed_idx = jnp.minimum(seed_idx, 2 * S - 1)
+    in_range = slots[None, :] < total[:, None]
+
+    g = lambda a: jnp.take_along_axis(a, seed_idx, axis=-1)
+    within = slots[None, :] - g(cum_ex)
+    rank = g(sp) + within * g(skip)
+    slot_is_r = g(is_r)
+    offset = g(off)
+
+    sa_c = csa[jnp.clip(rank, 0, csa.shape[0] - 1)]
+    sa_r = r_coord[jnp.clip(rank, 0, r_coord.shape[0] - 1)]
+    sa_val = jnp.where(slot_is_r, sa_r, sa_c)
+    pos = (sa_val.astype(jnp.uint32) - offset.astype(jnp.uint32))
+
+    end_u = pos + jnp.uint32(l_seq)  # uint32 wraparound, as in C
+    ok_c = end_u <= jnp.uint32(l_mref)
+    ok_r = (pos <= jnp.uint32(l_mref)) & ok_c
+    valid_push = in_range & jnp.where(slot_is_r, ok_r, ok_c)
+
+    n_before = jnp.cumsum(valid_push.astype(jnp.int32), axis=-1)
+    pushed = valid_push & (n_before <= max_locate)
+    return Loci(pos=pos, pushed=pushed)
+
+
+def sort_loci(loci: Loci) -> Loci:
+    """Sort pushed loci ascending per read (ks_introsort, alnse.c:728);
+    un-pushed slots sort to the end."""
+    key = jnp.where(
+        loci.pushed,
+        loci.pos.astype(jnp.int64),
+        jnp.int64(1) << 40,
+    )
+    order = jnp.argsort(key, axis=-1)
+    take = lambda a: jnp.take_along_axis(a, order, axis=-1)
+    return Loci(pos=take(loci.pos), pushed=take(loci.pushed))

@@ -1,0 +1,105 @@
+"""Batched BWT rank (occ) queries as bit-plane gathers.
+
+The reference answers occ(k, c) by pointer-chasing into interleaved
+checkpoint blocks with per-call popcounts (Align_src/bwt.c:113-136,
+rbwt.c:159-191).  The TPU-native re-expression: per symbol c keep a
+bit-plane (one bit per BWT position) plus exclusive prefix counts at
+every 32-bit word boundary.  A rank query is then two gathers + one
+`population_count` — fully vectorizable over (reads x seeds x strands).
+
+rank_excl(idx, c) = #occurrences of c in bwt[0 .. idx-1].
+
+Both BWTs keep their sentinel in-band as a distinct symbol, which makes
+the reference's `$`-skip adjustments (bwt.c:120, rbwt.c:165-167) fall
+out: occ over the sentinel-stripped prefix equals rank_excl here.
+
+LF mapping (backward-search step) for an interval [k, l] and symbol c:
+    k' = C[c] + rank_excl(k, c) + 1
+    l' = C[c] + rank_excl(l + 1, c)
+which matches bwt_2occ-based stepping (bwt.c:281-309) and
+Rbwt_exact_match_backward (rbwt.c:619-648) exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class RankIndex:
+    """Bit-plane rank structure over a symbol array of length n.
+
+    bits: uint32[n_sym, W]   bit i of word w = (sym[32w+i] == c)
+    cnt:  int32[W, n_sym]    exclusive counts at word boundaries
+    cfreq: int32[n_sym + 1]  C-array: cfreq[c] = #symbols < c (sentinel
+                             excluded from the counts, as in the
+                             reference's L2/cumulativeFreq)
+    n: int                   number of symbols
+    """
+
+    bits: jnp.ndarray
+    cnt: jnp.ndarray
+    cfreq: jnp.ndarray
+    n: int
+
+    def tree_flatten(self):
+        return (self.bits, self.cnt, self.cfreq), (self.n,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        bits, cnt, cfreq = children
+        return cls(bits=bits, cnt=cnt, cfreq=cfreq, n=aux[0])
+
+
+def build_rank_index(
+    syms: np.ndarray, n_sym: int, cfreq: np.ndarray, sentinel: int
+) -> RankIndex:
+    """Host-side construction from a uint8 symbol array (sentinel in-band).
+
+    `cfreq` must be the (n_sym+1)-long cumulative count array of the
+    non-sentinel symbols (reference L2 / cumulativeFreq semantics).
+    """
+    n = len(syms)
+    W = (n + 2 + 31) // 32 + 1  # allow rank queries at idx up to n+1
+    bits = np.zeros((n_sym, W), dtype=np.uint32)
+    cnt = np.zeros((W, n_sym), dtype=np.int32)
+    pos = np.arange(n)
+    word = pos >> 5
+    bit = (pos & 31).astype(np.uint32)
+    for c in range(n_sym):
+        mask = syms == c
+        np.bitwise_or.at(bits[c], word[mask], (np.uint32(1) << bit[mask]))
+        # exclusive counts at each word boundary
+        per_word = np.bincount(word[mask], minlength=W)
+        cnt[1:, c] = np.cumsum(per_word)[:-1]
+    return RankIndex(
+        bits=jnp.asarray(bits),
+        cnt=jnp.asarray(cnt),
+        cfreq=jnp.asarray(cfreq.astype(np.int32)),
+        n=n,
+    )
+
+
+def rank_excl(ri: RankIndex, idx: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized exclusive rank: #c in sym[0..idx-1].  idx int32 >= 0."""
+    w = idx >> 5
+    r = idx & 31
+    word = ri.bits[c, w]
+    mask = jnp.where(r > 0, (jnp.uint32(1) << r) - jnp.uint32(1), jnp.uint32(0))
+    partial_cnt = jax.lax.population_count(word & mask).astype(jnp.int32)
+    return ri.cnt[w, c] + partial_cnt
+
+
+def lf_step(ri: RankIndex, k: jnp.ndarray, l: jnp.ndarray, c: jnp.ndarray):
+    """One backward-search step; returns (k', l').  Interval is empty when
+    k' > l'."""
+    ok = rank_excl(ri, k, c)
+    ol = rank_excl(ri, l + 1, c)
+    base = ri.cfreq[c]
+    return base + ok + 1, base + ol

@@ -1,0 +1,142 @@
+"""Batched overlap seeding (alnse_seed_overlap, Align_src/alnse.c:199-312).
+
+For every seed start position p (stride `l_overlap`) and every read in
+the batch, in parallel:
+
+  C part: 12-mer lookup-table jump for the seed's last 12 bases, then
+  l_seed-12 LF steps (bwt_match_exact_alt, bwt.c:281-309), then greedy
+  left extension while the interval is wider than `max_seed`
+  (alnse.c:246-258).
+
+  R part: full l_seed-step backward search over the local-pattern BWT
+  (Rbwt_exact_match_backward, rbwt.c:619-648) plus the same greedy
+  extension (alnse.c:279-291 — note the reference has no N guard in the
+  R extension; an N steps on the '#' plane, which we replicate).
+
+All control flow is fixed-shape: the match phase is a `lax.scan` over
+seed bases with a live-lane mask; the (rare) extension phase is a
+`lax.while_loop` that exits when every lane is done.
+
+Returns per-seed interval (sp, ep), adjusted read offset, and validity.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .rank import RankIndex, lf_step, rank_excl
+
+
+class Seeds(NamedTuple):
+    sp: jnp.ndarray       # int32 (..., S)
+    ep: jnp.ndarray       # int32 (..., S)
+    offset: jnp.ndarray   # int32 (..., S) seed start minus extension
+    valid: jnp.ndarray    # bool  (..., S)
+
+
+def _match_backward(ri: RankIndex, chars, k0, l0, live0):
+    """chars: (n_steps, ...) codes fed last-to-first; masked LF scan.
+    Returns (k, l, ok) where ok = matched every step with nonempty result."""
+
+    def step(carry, c):
+        k, l, alive = carry
+        bad = c > 3
+        kn, ln = lf_step(ri, k, l, jnp.where(bad, 0, c))
+        empty = kn > ln
+        new_alive = alive & ~bad & ~empty
+        k = jnp.where(new_alive, kn, k)
+        l = jnp.where(new_alive, ln, l)
+        return (k, l, new_alive), None
+
+    (k, l, alive), _ = jax.lax.scan(step, (k0, l0, live0), chars)
+    return k, l, alive
+
+
+def _greedy_extend(ri: RankIndex, seq, p, k, l, valid, max_seed, check_n: bool):
+    """While l-k > max_seed and l_ext < p: try one more left base.
+    seq: (..., L); p, k, l: (...,).  Mirrors alnse.c:246-258/279-291."""
+    L = seq.shape[-1]
+    max_ext = L  # static bound; loop exits early when no lane is active
+
+    def cond(state):
+        k, l, l_ext, active = state
+        return jnp.any(active)
+
+    def body(state):
+        k, l, l_ext, active = state
+        c = jnp.take_along_axis(
+            seq, jnp.maximum(p - l_ext - 1, 0)[..., None], axis=-1
+        )[..., 0]
+        bad = (c > 3) if check_n else jnp.zeros(c.shape, dtype=bool)
+        csafe = jnp.where(c > 4, 4, c)  # clamp pathological codes
+        ok = rank_excl(ri, k, csafe)
+        ol = rank_excl(ri, l + 1, csafe)
+        would_empty = ok + 1 > ol
+        do = active & ~bad & ~would_empty
+        base = ri.cfreq[csafe]
+        k = jnp.where(do, base + ok + 1, k)
+        l = jnp.where(do, base + ol, l)
+        l_ext = jnp.where(do, l_ext + 1, l_ext)
+        # continue only if still too wide and room to extend
+        active = do & (l - k > max_seed) & (l_ext < p)
+        return k, l, l_ext, active
+
+    l_ext0 = jnp.zeros_like(k)
+    active0 = valid & (l - k > max_seed) & (l_ext0 < p)
+    k, l, l_ext, _ = jax.lax.while_loop(cond, body, (k, l, l_ext0, active0))
+    return k, l, l_ext
+
+
+def seed_overlap(
+    ri_c: RankIndex,
+    ri_r: RankIndex,
+    lkt: jnp.ndarray,
+    seq: jnp.ndarray,       # (B, L) int32 codes 0..4
+    l_seed: int,
+    l_overlap: int,
+    max_seed: int,
+    l_lkt: int = 12,
+    seed_only_ref: bool = False,
+):
+    """Returns (c_seeds, r_seeds), each a Seeds with shape (B, S)."""
+    B, L = seq.shape
+    starts = jnp.arange(0, L - l_seed + 1, l_overlap, dtype=jnp.int32)  # (S,)
+    S = starts.shape[0]
+    p = jnp.broadcast_to(starts, (B, S))
+
+    # gather the seed windows: (B, S, l_seed)
+    idx = p[..., None] + jnp.arange(l_seed, dtype=jnp.int32)
+    win = jnp.take_along_axis(seq[:, None, :], idx, axis=-1)
+
+    # ---- C part ----
+    tail = win[..., l_seed - l_lkt :]                       # (B, S, 12)
+    has_n = jnp.any(tail > 3, axis=-1)
+    pw = 4 ** jnp.arange(l_lkt - 1, -1, -1, dtype=jnp.int32)
+    kmer = jnp.sum(jnp.where(tail > 3, 0, tail) * pw, axis=-1)
+    sp0 = jnp.where(has_n, 1, lkt[kmer].astype(jnp.int32))
+    ep0 = jnp.where(has_n, 0, lkt[kmer + 1].astype(jnp.int32) - 1)
+    live0 = sp0 <= ep0
+    # LF over the remaining l_seed-12 bases, last-to-first
+    head = win[..., : l_seed - l_lkt]                       # (B, S, l_seed-12)
+    chars = jnp.moveaxis(head[..., ::-1], -1, 0)            # (steps, B, S)
+    k, l, okc = _match_backward(ri_c, chars, sp0, ep0, live0)
+    k, l, l_ext = _greedy_extend(ri_c, seq[:, None, :], p, k, l, okc, max_seed, check_n=True)
+    c_seeds = Seeds(sp=k, ep=l, offset=p - l_ext, valid=okc)
+
+    # ---- R part ----
+    if seed_only_ref:
+        z = jnp.zeros((B, S), dtype=jnp.int32)
+        r_seeds = Seeds(sp=z + 1, ep=z, offset=z, valid=jnp.zeros((B, S), bool))
+    else:
+        k0 = jnp.zeros((B, S), dtype=jnp.int32)
+        l0 = jnp.full((B, S), ri_r.n, dtype=jnp.int32)
+        chars_r = jnp.moveaxis(win[..., ::-1], -1, 0)       # all l_seed bases
+        live = jnp.ones((B, S), dtype=bool)
+        k, l, okr = _match_backward(ri_r, chars_r, k0, l0, live)
+        k, l, l_ext = _greedy_extend(ri_r, seq[:, None, :], p, k, l, okr, max_seed, check_n=False)
+        r_seeds = Seeds(sp=k, ep=l, offset=p - l_ext, valid=okr)
+
+    return c_seeds, r_seeds

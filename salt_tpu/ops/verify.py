@@ -1,0 +1,153 @@
+"""Batched candidate verification and best-hit selection.
+
+Ungapped check (alnse_check_nogap, Align_src/alnse.c:734-782): per
+candidate position, count read bases whose one-hot code ANDs to zero
+against the 4-bit mixRef nibble (ed_mismatch, editdistance.c:88-163).
+Counts are exact up to the ungapped threshold (3) and clamped above it,
+which is all the sequential replay below can observe.
+
+The reference scans sorted candidates strand 0 then strand 1 with a
+shrinking threshold captured by the code_kmismatch macro
+(alnse.c:348-369, 1079-1083).  That sequence is replayed exactly in
+vector form:
+
+  t_i   = min(3, exclusive-prefix-min of checked counts)     [threshold]
+  hit_i = checked_i and counts_i <= t_i                      [recorded]
+
+and the primary is the winning strand's first-minimum hit, where a
+strand-1 hit always displaces an equal strand-0 best because the C code
+resets `flag_match` per strand call (alnse.c:412,751).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import NOGAP_MAX_DIFF, UINT32_MAX
+from .locate import Loci
+
+NT2BIT = jnp.array([1, 2, 4, 8, 15], dtype=jnp.uint8)
+
+BIG = jnp.int32(255)
+
+
+class StrandVerify(NamedTuple):
+    counts: jnp.ndarray    # int32 (B, CAP) clamped mismatch counts
+    checked: jnp.ndarray   # bool  (B, CAP) in-range, deduped
+    pos: jnp.ndarray       # uint32 (B, CAP) sorted positions
+
+
+class SEResult(NamedTuple):
+    found: jnp.ndarray        # bool (B,)
+    pos: jnp.ndarray          # uint32 (B,)
+    strand: jnp.ndarray       # int32 (B,)
+    n_diff: jnp.ndarray       # int32 (B,)
+    # per-strand hit lists (sorted-candidate order), first K compacted
+    hits_pos: jnp.ndarray     # uint32 (B, 2, K)
+    hits_ndiff: jnp.ndarray   # int32 (B, 2, K)
+    n_hits: jnp.ndarray       # int32 (B, 2) total hits (may exceed K)
+    first_hit_ndiff: jnp.ndarray  # int32 (B, 2) n_diff of each strand's a[0]
+
+
+def mismatch_counts(
+    mixref: jnp.ndarray,    # uint8 [l_mref]
+    loci: Loci,             # sorted
+    seq: jnp.ndarray,       # (B, L) codes for this strand
+    l_mref: int,
+    clamp: int = NOGAP_MAX_DIFF + 1,
+) -> StrandVerify:
+    """Mismatch counts for each pushed locus; dedup + range rules of
+    alnse_check_nogap (skip pos == previous checked pos or pos >= l_mref)."""
+    B, CAP = loci.pos.shape
+    L = seq.shape[-1]
+    pos = loci.pos
+    in_range = loci.pushed & (pos < jnp.uint32(l_mref))
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), UINT32_MAX, dtype=pos.dtype), pos[:, :-1]], axis=1
+    )
+    # loci are sorted, so equal positions are adjacent; the reference
+    # only dedups against the previous *checked* pos, but since checked
+    # positions form a sorted subsequence this is equivalent.
+    checked = in_range & (pos != prev)
+
+    base = jnp.where(checked, pos, 0).astype(jnp.int32)
+    gather_idx = base[..., None] + jnp.arange(L, dtype=jnp.int32)
+    gather_idx = jnp.clip(gather_idx, 0, l_mref - 1)
+    nibs = mixref[gather_idx]                     # (B, CAP, L)
+    bits = NT2BIT[jnp.clip(seq, 0, 4)][:, None, :]  # (B, 1, L)
+    mism = (nibs & bits) == 0
+    counts = jnp.minimum(jnp.sum(mism, axis=-1, dtype=jnp.int32), clamp)
+    counts = jnp.where(checked, counts, BIG)
+    return StrandVerify(counts=counts, checked=checked, pos=pos)
+
+
+def replay_and_select(
+    v0: StrandVerify,
+    v1: StrandVerify,
+    max_diff0: int,
+    k_hits: int,
+) -> SEResult:
+    """Sequential threshold replay over strand-0-then-strand-1 candidates
+    and primary selection, fully vectorized."""
+    B, CAP = v0.counts.shape
+    counts = jnp.concatenate([v0.counts, v1.counts], axis=-1)   # (B, 2CAP)
+    checked = jnp.concatenate([v0.checked, v1.checked], axis=-1)
+    pos = jnp.concatenate([v0.pos, v1.pos], axis=-1)
+
+    cmin = jnp.minimum(counts, BIG)
+    run_min = jax.lax.associative_scan(jnp.minimum, cmin, axis=-1)
+    excl_min = jnp.concatenate(
+        [jnp.full((B, 1), BIG), run_min[:, :-1]], axis=-1
+    )
+    t = jnp.minimum(jnp.int32(max_diff0), excl_min)
+    hit = checked & (counts <= t)
+
+    def strand_best(cs, hs):
+        val = jnp.min(jnp.where(hs, cs, BIG), axis=-1)
+        first = jnp.argmax(hs & (cs == val[:, None]), axis=-1)
+        has = jnp.any(hs, axis=-1)
+        return has, val, first
+
+    has0, val0, idx0 = strand_best(counts[:, :CAP], hit[:, :CAP])
+    has1, val1, idx1 = strand_best(counts[:, CAP:], hit[:, CAP:])
+    # strand 1's first hit displaces an equal strand-0 best (flag reset)
+    use1 = has1
+    found = has0 | has1
+    best_strand = jnp.where(use1, 1, 0)
+    best_val = jnp.where(use1, val1, val0)
+    best_pos = jnp.where(
+        use1,
+        jnp.take_along_axis(v1.pos, idx1[:, None], axis=-1)[:, 0],
+        jnp.take_along_axis(v0.pos, idx0[:, None], axis=-1)[:, 0],
+    )
+
+    def compact(hs, cs, ps):
+        order = jnp.argsort(~hs, axis=-1, stable=True)
+        take = lambda a: jnp.take_along_axis(a, order[:, :k_hits], axis=-1)
+        hsel = jnp.take_along_axis(hs, order[:, :k_hits], axis=-1)
+        hp = jnp.where(hsel, take(ps), jnp.uint32(UINT32_MAX))
+        hn = jnp.where(hsel, take(cs), BIG)
+        n = jnp.sum(hs, axis=-1, dtype=jnp.int32)
+        fh = jnp.where(
+            jnp.any(hs, axis=-1),
+            jnp.take_along_axis(cs, jnp.argmax(hs, axis=-1)[:, None], axis=-1)[:, 0],
+            BIG,
+        )
+        return hp, hn, n, fh
+
+    hp0, hn0, n0, fh0 = compact(hit[:, :CAP], v0.counts, v0.pos)
+    hp1, hn1, n1, fh1 = compact(hit[:, CAP:], v1.counts, v1.pos)
+
+    return SEResult(
+        found=found,
+        pos=jnp.where(found, best_pos, jnp.uint32(UINT32_MAX)),
+        strand=best_strand,
+        n_diff=jnp.where(found, best_val, BIG),
+        hits_pos=jnp.stack([hp0, hp1], axis=1),
+        hits_ndiff=jnp.stack([hn0, hn1], axis=1),
+        n_hits=jnp.stack([n0, n1], axis=1),
+        first_hit_ndiff=jnp.stack([fh0, fh1], axis=1),
+    )

@@ -1,0 +1,246 @@
+"""Host-side SE alignment engine: batching, device dispatch, hit
+finalization (query_set_hits semantics) and SAM record assembly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (
+    DEFAULT_MAX_LOCATE,
+    DEFAULT_MAX_SEED,
+    NST_NT4_TABLE,
+    SE_MAX_N_AMBIGUOUS,
+    UINT32_MAX,
+)
+from ..index.build import SaltIndex
+from ..io.fasta import read_records, trim_readno
+from ..io.sam import build_xa, emit_se, sam_header
+from ..ops.lv import NT2BIT_NP, lv_cigar_host
+from .device_index import DeviceIndex, to_device_index
+from .se import se_gapped, se_ungapped
+
+
+@dataclass
+class SEOptions:
+    l_overlap: int = 1
+    max_seed: int = DEFAULT_MAX_SEED
+    max_locate: int = DEFAULT_MAX_LOCATE
+    max_hits: int = 5           # aln_opt->max_hits (aln.h:133)
+    print_xa_cigar: bool = False
+    print_nm_md: bool = False
+    rg_id: Optional[str] = None
+    batch_size: int = 2048
+    gap_batch: int = 64
+    k_hits: int = 16
+    cap_margin: int = 128
+
+    def cap(self) -> int:
+        c = self.max_locate + self.cap_margin
+        return ((c + 63) // 64) * 64
+
+
+def encode_reads(seqs: List[str]) -> np.ndarray:
+    L = len(seqs[0])
+    arr = np.zeros((len(seqs), L), dtype=np.uint8)
+    for i, s in enumerate(seqs):
+        arr[i] = NST_NT4_TABLE[np.frombuffer(s.encode("latin1"), dtype=np.uint8)]
+    return arr
+
+
+def revcomp(codes: np.ndarray) -> np.ndarray:
+    r = codes[:, ::-1].copy()
+    return np.where(r < 4, 3 - r, r).astype(np.uint8)
+
+
+def gen_mapq(b0: int, b1: int) -> int:
+    """query.c:270-281."""
+    if b0 == 0:
+        return 0
+    mapq = int(255.0 * (abs(b0 - b1) / float(b0)))
+    return mapq if mapq < 254 else 254
+
+
+def set_hits(
+    primary_pos: int,
+    primary_ndiff: int,
+    n_hits: np.ndarray,          # (2,)
+    first_hit_ndiff: np.ndarray, # (2,)
+    hits_pos: np.ndarray,        # (2, K)
+    hits_ndiff: np.ndarray,      # (2, K)
+    max_hits: int,
+):
+    """query_set_hits (query.c:297-333) including the reference's use of
+    the FIRST hit's n_diff (`a->n_diff`, i.e. a[0]) for the filter and b1.
+    Returns (b1, xa_entries [(strand,pos,ndiff)...])."""
+    b0 = primary_ndiff
+    b1 = 100000
+    tot = 0
+    xa = []
+    K = hits_pos.shape[1]
+    for s in (0, 1):
+        n = int(n_hits[s])
+        if n == 0:
+            continue
+        a0 = int(first_hit_ndiff[s])
+        for j in range(min(n, K)):
+            pos = int(hits_pos[s, j])
+            if pos == primary_pos:
+                continue
+            if a0 <= b0:
+                if a0 <= b1:
+                    b1 = a0
+                xa.append((s, pos, int(hits_ndiff[s, j])))
+                tot += 1
+            if tot == max_hits:
+                return b1, xa
+    return b1, xa
+
+
+class SEAligner:
+    def __init__(self, index: SaltIndex, opts: SEOptions = None):
+        self.index = index
+        self.opts = opts or SEOptions()
+        self.dix: DeviceIndex = to_device_index(index)
+        self._offsets = np.array([c.offset for c in index.contigs])
+
+    # ---------------- device dispatch ----------------
+
+    def _run_batch(self, codes: np.ndarray):
+        """codes: (B, L) uint8.  Returns per-read numpy results."""
+        o = self.opts
+        B, L = codes.shape
+        fwd = jnp.asarray(codes.astype(np.int32))
+        rev = jnp.asarray(revcomp(codes).astype(np.int32))
+        out = se_ungapped(
+            self.dix, fwd, rev,
+            l_overlap=o.l_overlap, max_seed=o.max_seed,
+            max_locate=o.max_locate, cap=o.cap(), k_hits=o.k_hits,
+        )
+        res = jax.tree_util.tree_map(np.asarray, out.res)
+        needs_gap = np.asarray(out.needs_gap)
+        gap_res = None
+        gap_rows = np.nonzero(needs_gap)[0]
+        if len(gap_rows):
+            k = max(L // 10, 0)
+            GB = o.gap_batch
+            merged = {}
+            for start in range(0, len(gap_rows), GB):
+                rows = gap_rows[start : start + GB]
+                pad = GB - len(rows)
+                rows_p = np.concatenate([rows, np.zeros(pad, dtype=rows.dtype)])
+                sel = jnp.asarray(rows_p)
+                sub = se_gapped(
+                    self.dix,
+                    fwd[sel],
+                    rev[sel],
+                    jax.tree_util.tree_map(lambda a: a[sel], out.loci0),
+                    jax.tree_util.tree_map(lambda a: a[sel], out.loci1),
+                    k=k,
+                    k_hits=o.k_hits,
+                )
+                sub = jax.tree_util.tree_map(np.asarray, sub)
+                for i, r in enumerate(rows):
+                    merged[int(r)] = jax.tree_util.tree_map(lambda a: a[i], sub)
+            gap_res = merged
+        return res, needs_gap, gap_res
+
+    # ---------------- per-read finalization ----------------
+
+    def _finalize_read(
+        self, name, seq, rseq, qual, found, pos, strand, n_diff, is_gap,
+        n_hits, first_hit_ndiff, hits_pos, hits_ndiff,
+    ) -> str:
+        o = self.opts
+        idx = self.index
+        L = len(seq)
+        if not found:
+            return emit_se(idx, name, seq, rseq, qual, UINT32_MAX, 3, 0, "", "",
+                           o.print_nm_md, o.rg_id)
+        b1, xa_entries = set_hits(
+            pos, n_diff, n_hits, first_hit_ndiff, hits_pos, hits_ndiff,
+            o.max_hits,
+        )
+        mapq = gen_mapq(n_diff, b1)
+        # primary cigar (query_gen_cigar, query.c:282-296)
+        if is_gap:
+            e, cigar = self._lv_cigar(pos, seq if strand == 0 else rseq, n_diff)
+        else:
+            cigar = f"{L}M"
+        # XA cigars
+        xa_with_cig = []
+        for s, p, nd in xa_entries:
+            cig = None
+            if o.print_xa_cigar and is_gap:
+                _, cig = self._lv_cigar(p, seq if s == 0 else rseq, nd)
+            xa_with_cig.append((s, p, nd, cig))
+        xa = build_xa(idx, pos, L, xa_with_cig, o.print_xa_cigar)
+        return emit_se(idx, name, seq, rseq, qual, pos, strand, mapq, cigar,
+                       xa, o.print_nm_md, o.rg_id)
+
+    def _lv_cigar(self, pos, strand_seq, k):
+        L = len(strand_seq)
+        text = self.index.mixref[pos : pos + L + 4]
+        pattern = NT2BIT_NP[np.minimum(strand_seq, 4)]
+        return lv_cigar_host(text, pattern, int(k))
+
+    # ---------------- file-level driver ----------------
+
+    def align_records(self, records) -> List[str]:
+        """records: list of SeqRecord.  Returns SAM record strings
+        (one per read, no newline; empty string for skipped reads)."""
+        o = self.opts
+        names = [trim_readno(r.name) for r in records]
+        seqs = [r.seq for r in records]
+        quals = [r.qual for r in records]
+        codes = encode_reads(seqs)
+        rcodes = revcomp(codes)
+        n_amb = (codes > 3).sum(axis=1)
+
+        B = o.batch_size
+        n = len(records)
+        out_records: List[str] = [""] * n
+        for start in range(0, n, B):
+            chunk = codes[start : start + B]
+            nb = len(chunk)
+            if nb < B:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((B - nb, chunk.shape[1]), dtype=np.uint8)]
+                )
+            res, needs_gap, gap_res = self._run_batch(chunk)
+            for i in range(nb):
+                gi = start + i
+                if n_amb[gi] > SE_MAX_N_AMBIGUOUS:
+                    out_records[gi] = ""  # reference emits a blank line
+                    continue
+                if needs_gap[i] and gap_res is not None and i in gap_res:
+                    r = gap_res[i]
+                    is_gap = True
+                else:
+                    r = jax.tree_util.tree_map(lambda a: a[i], res)
+                    is_gap = False
+                out_records[gi] = self._finalize_read(
+                    names[gi], codes[gi], rcodes[gi], quals[gi],
+                    bool(r.found), int(r.pos), int(r.strand), int(r.n_diff),
+                    is_gap, np.asarray(r.n_hits), np.asarray(r.first_hit_ndiff),
+                    np.asarray(r.hits_pos), np.asarray(r.hits_ndiff),
+                )
+        return out_records
+
+    def align_file(self, fastq_path: str, out_fh, cmd: str = "salt-tpu"):
+        print(sam_header(self.index, cmd, self.opts.rg_id), file=out_fh)
+        batch = []
+        for rec in read_records(fastq_path):
+            batch.append(rec)
+            if len(batch) >= 100000:
+                for line in self.align_records(batch):
+                    print(line, file=out_fh)
+                batch = []
+        if batch:
+            for line in self.align_records(batch):
+                print(line, file=out_fh)
