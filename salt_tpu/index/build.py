@@ -74,6 +74,12 @@ class SaltIndex:
     r_cumfreq: np.ndarray  # uint32[6]: cumulativeFreq[c] = # chars < c
     r_primary: int
     r_coord: np.ndarray    # uint32[T+1] genome coord per rank (or UINT32_MAX)
+    # exact 12-mer jump table for the R text (sp/ep per kmer) — a
+    # TPU-side addition (no reference counterpart): skips 12 of the
+    # l_seed LF steps per seed.  Exact-parity safe: equals 12 backward
+    # LF steps from the full interval.
+    r_lkt_sp: np.ndarray = None   # uint32[4^12]
+    r_lkt_ep: np.ndarray = None   # uint32[4^12]
 
     # kept for debugging / tests
     r_text: Optional[np.ndarray] = None
@@ -234,6 +240,31 @@ def _gen_local_patterns(
     return bytes(out), segments, anchors
 
 
+def build_r_lkt(r_codes: np.ndarray, rsa: np.ndarray, k: int = MAX_LOOKUP_LEN):
+    """Exact k-mer SA-interval table over the 5-letter local-pattern text.
+
+    Suffix keys are the first k chars base-6 (digit = code+1, 0 pads past
+    the text end), which orders identically to the suffix array at k-char
+    granularity; intervals come from two vectorized searchsorteds.
+    """
+    T = len(r_codes)
+    ext = np.zeros(T + k, dtype=np.int64)
+    ext[:T] = r_codes.astype(np.int64) + 1
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    pw = 6 ** np.arange(k - 1, -1, -1)
+    keys_by_pos = sliding_window_view(ext, k) @ pw      # (T+1,)
+    keys_rank = keys_by_pos[rsa]                        # ascending
+    ms = np.arange(4 ** k, dtype=np.int64)
+    kq = np.zeros_like(ms)
+    for j in range(k):
+        c = (ms >> (2 * (k - 1 - j))) & 3
+        kq = kq * 6 + (c + 1)
+    sp = np.searchsorted(keys_rank, kq, side="left").astype(np.uint32)
+    ep = (np.searchsorted(keys_rank, kq, side="right") - 1).astype(np.uint32)
+    return sp, ep
+
+
 def build_index(
     fasta_path: str,
     snp_path: str,
@@ -374,6 +405,7 @@ def build_index(
                 .astype(np.uint32)
             )
     r_coord = pos2coord[rsa64]
+    r_lkt_sp, r_lkt_ep = build_r_lkt(r_codes, rsa64)
 
     return SaltIndex(
         l_seed=l_seed,
@@ -391,5 +423,7 @@ def build_index(
         r_cumfreq=r_cumfreq,
         r_primary=r_primary,
         r_coord=r_coord,
+        r_lkt_sp=r_lkt_sp,
+        r_lkt_ep=r_lkt_ep,
         r_text=r_codes if keep_r_text else None,
     )

@@ -50,6 +50,8 @@ def save_index(idx: SaltIndex, prefix: str) -> None:
         rbwt=idx.rbwt,
         r_cumfreq=idx.r_cumfreq,
         r_coord=idx.r_coord,
+        r_lkt_sp=idx.r_lkt_sp,
+        r_lkt_ep=idx.r_lkt_ep,
     )
 
 
@@ -85,4 +87,6 @@ def load_index(prefix: str) -> SaltIndex:
         r_cumfreq=z["r_cumfreq"],
         r_primary=m["r_primary"],
         r_coord=z["r_coord"],
+        r_lkt_sp=z["r_lkt_sp"] if "r_lkt_sp" in z else None,
+        r_lkt_ep=z["r_lkt_ep"] if "r_lkt_ep" in z else None,
     )

@@ -76,11 +76,30 @@ def locate(
     total = cum[:, -1]
     cum_ex = cum - cnt                                    # exclusive
 
-    # slot t -> seed index via searchsorted on the inclusive cumsum
+    # slot t -> seed index: scatter a 1 at each seed's first slot and
+    # prefix-sum (cheaper than a vmapped searchsorted)
     slots = jnp.arange(cap, dtype=jnp.int32)
-    seed_idx = jax.vmap(lambda c: jnp.searchsorted(c, slots, side="right"))(cum)
-    seed_idx = jnp.minimum(seed_idx, 2 * S - 1)
-    in_range = slots[None, :] < total[:, None]
+    starts = jnp.where(cnt > 0, cum_ex, cap)              # (B, 2S)
+    marks = jnp.zeros((B, cap), dtype=jnp.int32)
+    marks = marks.at[
+        jnp.arange(B, dtype=jnp.int32)[:, None], jnp.clip(starts, 0, cap)
+    ].add(1, mode="drop")
+    seed_of_rankpos = jnp.cumsum(marks, axis=-1) - 1      # index into nonempty seeds
+    # map "nonempty seed ordinal" back to seed index
+    nz = cnt > 0
+    ord_of_seed = jnp.cumsum(nz.astype(jnp.int32), axis=-1) - 1
+    seed_lookup = jnp.zeros((B, 2 * S), dtype=jnp.int32)
+    seed_lookup = seed_lookup.at[
+        jnp.arange(B, dtype=jnp.int32)[:, None],
+        jnp.where(nz, ord_of_seed, 2 * S - 1),
+    ].set(
+        jnp.broadcast_to(jnp.arange(2 * S, dtype=jnp.int32), (B, 2 * S)),
+        mode="drop",
+    )
+    seed_idx = jnp.take_along_axis(
+        seed_lookup, jnp.clip(seed_of_rankpos, 0, 2 * S - 1), axis=-1
+    )
+    in_range = (slots[None, :] < total[:, None]) & (seed_of_rankpos >= 0)
 
     g = lambda a: jnp.take_along_axis(a, seed_idx, axis=-1)
     within = slots[None, :] - g(cum_ex)
@@ -104,13 +123,13 @@ def locate(
 
 
 def sort_loci(loci: Loci) -> Loci:
-    """Sort pushed loci ascending per read (ks_introsort, alnse.c:728);
-    un-pushed slots sort to the end."""
-    key = jnp.where(
-        loci.pushed,
-        loci.pos.astype(jnp.int64),
-        jnp.int64(1) << 40,
+    """Sort pushed loci ascending per read (ks_introsort, alnse.c:728).
+
+    Un-pushed slots are keyed 0xFFFFFFFF; they may interleave with pushed
+    garbage positions of the same value, which is harmless because both
+    fail the in-range check downstream."""
+    key = jnp.where(loci.pushed, loci.pos, jnp.uint32(0xFFFFFFFF))
+    key_sorted, pushed_sorted = jax.lax.sort(
+        [key, loci.pushed.astype(jnp.int32)], dimension=1, num_keys=1
     )
-    order = jnp.argsort(key, axis=-1)
-    take = lambda a: jnp.take_along_axis(a, order, axis=-1)
-    return Loci(pos=take(loci.pos), pushed=take(loci.pushed))
+    return Loci(pos=key_sorted, pushed=pushed_sorted.astype(bool))

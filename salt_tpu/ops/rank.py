@@ -35,26 +35,26 @@ import numpy as np
 class RankIndex:
     """Bit-plane rank structure over a symbol array of length n.
 
-    bits: uint32[n_sym, W]   bit i of word w = (sym[32w+i] == c)
-    cnt:  int32[W, n_sym]    exclusive counts at word boundaries
-    cfreq: int32[n_sym + 1]  C-array: cfreq[c] = #symbols < c (sentinel
-                             excluded from the counts, as in the
-                             reference's L2/cumulativeFreq)
-    n: int                   number of symbols
+    bc:   int32[n_sym, W, 2]  per symbol plane and 32-symbol word:
+                              [..,0] exclusive count at the word start,
+                              [..,1] the bit word (bit i = sym[32w+i]==c)
+                              fused so one gather serves a rank query
+    cfreq: int32[n_sym + 1]   C-array: cfreq[c] = #symbols < c (sentinel
+                              excluded, reference L2/cumulativeFreq)
+    n: int                    number of symbols
     """
 
-    bits: jnp.ndarray
-    cnt: jnp.ndarray
+    bc: jnp.ndarray
     cfreq: jnp.ndarray
     n: int
 
     def tree_flatten(self):
-        return (self.bits, self.cnt, self.cfreq), (self.n,)
+        return (self.bc, self.cfreq), (self.n,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        bits, cnt, cfreq = children
-        return cls(bits=bits, cnt=cnt, cfreq=cfreq, n=aux[0])
+        bc, cfreq = children
+        return cls(bc=bc, cfreq=cfreq, n=aux[0])
 
 
 def build_rank_index(
@@ -67,20 +67,19 @@ def build_rank_index(
     """
     n = len(syms)
     W = (n + 2 + 31) // 32 + 1  # allow rank queries at idx up to n+1
-    bits = np.zeros((n_sym, W), dtype=np.uint32)
-    cnt = np.zeros((W, n_sym), dtype=np.int32)
+    bc = np.zeros((n_sym, W, 2), dtype=np.int32)
     pos = np.arange(n)
     word = pos >> 5
     bit = (pos & 31).astype(np.uint32)
     for c in range(n_sym):
         mask = syms == c
-        np.bitwise_or.at(bits[c], word[mask], (np.uint32(1) << bit[mask]))
-        # exclusive counts at each word boundary
+        bits_c = np.zeros(W, dtype=np.uint32)
+        np.bitwise_or.at(bits_c, word[mask], (np.uint32(1) << bit[mask]))
         per_word = np.bincount(word[mask], minlength=W)
-        cnt[1:, c] = np.cumsum(per_word)[:-1]
+        bc[c, 1:, 0] = np.cumsum(per_word)[:-1]
+        bc[c, :, 1] = bits_c.view(np.int32)
     return RankIndex(
-        bits=jnp.asarray(bits),
-        cnt=jnp.asarray(cnt),
+        bc=jnp.asarray(bc),
         cfreq=jnp.asarray(cfreq.astype(np.int32)),
         n=n,
     )
@@ -89,11 +88,12 @@ def build_rank_index(
 def rank_excl(ri: RankIndex, idx: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     """Vectorized exclusive rank: #c in sym[0..idx-1].  idx int32 >= 0."""
     w = idx >> 5
-    r = idx & 31
-    word = ri.bits[c, w]
+    r = (idx & 31).astype(jnp.uint32)
+    row = ri.bc[c, w]                       # (..., 2): one fused gather
+    word = row[..., 1].astype(jnp.uint32)
     mask = jnp.where(r > 0, (jnp.uint32(1) << r) - jnp.uint32(1), jnp.uint32(0))
     partial_cnt = jax.lax.population_count(word & mask).astype(jnp.int32)
-    return ri.cnt[w, c] + partial_cnt
+    return row[..., 0] + partial_cnt
 
 
 def lf_step(ri: RankIndex, k: jnp.ndarray, l: jnp.ndarray, c: jnp.ndarray):

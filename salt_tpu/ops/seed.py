@@ -100,8 +100,14 @@ def seed_overlap(
     max_seed: int,
     l_lkt: int = 12,
     seed_only_ref: bool = False,
+    r_lkt_sp: jnp.ndarray = None,
+    r_lkt_ep: jnp.ndarray = None,
 ):
-    """Returns (c_seeds, r_seeds), each a Seeds with shape (B, S)."""
+    """Returns (c_seeds, r_seeds), each a Seeds with shape (B, S).
+
+    When `r_lkt_sp/ep` are given (exact R-text 12-mer interval tables),
+    the R backward search jumps 12 steps at once — result-identical to 12
+    LF steps from the full interval."""
     B, L = seq.shape
     starts = jnp.arange(0, L - l_seed + 1, l_overlap, dtype=jnp.int32)  # (S,)
     S = starts.shape[0]
@@ -131,10 +137,18 @@ def seed_overlap(
         z = jnp.zeros((B, S), dtype=jnp.int32)
         r_seeds = Seeds(sp=z + 1, ep=z, offset=z, valid=jnp.zeros((B, S), bool))
     else:
-        k0 = jnp.zeros((B, S), dtype=jnp.int32)
-        l0 = jnp.full((B, S), ri_r.n, dtype=jnp.int32)
-        chars_r = jnp.moveaxis(win[..., ::-1], -1, 0)       # all l_seed bases
-        live = jnp.ones((B, S), dtype=bool)
+        use_rlkt = r_lkt_sp is not None and l_seed >= l_lkt
+        if use_rlkt:
+            # jump the trailing 12 bases through the exact interval table
+            k0 = jnp.where(has_n, 1, r_lkt_sp[kmer].astype(jnp.int32))
+            l0 = jnp.where(has_n, 0, r_lkt_ep[kmer].astype(jnp.int32))
+            live = k0 <= l0
+            chars_r = jnp.moveaxis(head[..., ::-1], -1, 0)
+        else:
+            k0 = jnp.zeros((B, S), dtype=jnp.int32)
+            l0 = jnp.full((B, S), ri_r.n, dtype=jnp.int32)
+            live = jnp.ones((B, S), dtype=bool)
+            chars_r = jnp.moveaxis(win[..., ::-1], -1, 0)   # all l_seed bases
         k, l, okr = _match_backward(ri_r, chars_r, k0, l0, live)
         k, l, l_ext = _greedy_extend(ri_r, seq[:, None, :], p, k, l, okr, max_seed, check_n=False)
         r_seeds = Seeds(sp=k, ep=l, offset=p - l_ext, valid=okr)

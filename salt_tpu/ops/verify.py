@@ -52,6 +52,78 @@ class SEResult(NamedTuple):
     first_hit_ndiff: jnp.ndarray  # int32 (B, 2) n_diff of each strand's a[0]
 
 
+def checked_mask(loci: Loci, l_mref: int) -> jnp.ndarray:
+    """In-range + adjacent-dedup mask over sorted loci
+    (alnse_check_nogap skip rule, alnse.c:762)."""
+    B = loci.pos.shape[0]
+    pos = loci.pos
+    in_range = loci.pushed & (pos < jnp.uint32(l_mref))
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), UINT32_MAX, dtype=pos.dtype), pos[:, :-1]], axis=1
+    )
+    return in_range & (pos != prev)
+
+
+def compact_loci(loci: Loci, checked: jnp.ndarray, u: int):
+    """Keep the first `u` checked slots per read (order preserved), via a
+    scatter instead of a sort.
+    Returns (pos (B,u) uint32, keep (B,u) bool, overflow (B,) bool)."""
+    B, CAP = checked.shape
+    tgt = jnp.cumsum(checked.astype(jnp.int32), axis=-1) - 1
+    tgt = jnp.where(checked, tgt, u)  # out of range -> dropped
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    pos = jnp.full((B, u), UINT32_MAX, dtype=loci.pos.dtype)
+    pos = pos.at[rows, tgt].set(loci.pos, mode="drop")
+    keep = jnp.zeros((B, u), dtype=bool)
+    keep = keep.at[rows, tgt].set(True, mode="drop")
+    n_checked = jnp.sum(checked, axis=-1)
+    return pos, keep, n_checked > u
+
+
+def mismatch_counts_packed(
+    mixref_words: jnp.ndarray,  # uint32 [ceil(l_mref/8)+pad] little-endian nibbles
+    pos: jnp.ndarray,           # uint32 (B, U) compacted candidate positions
+    keep: jnp.ndarray,          # bool (B, U)
+    seq: jnp.ndarray,           # (B, L) codes for this strand
+    clamp: int,
+) -> StrandVerify:
+    """Word-packed ed_mismatch: gathers ~L/8 uint32 words per candidate
+    instead of L bytes, then counts AND-zero nibbles on the VPU."""
+    B, U = pos.shape
+    L = seq.shape[-1]
+    NW = (L + 7 + 7) // 8 + 1          # words covering any alignment
+    NP = NW * 8
+    base = jnp.where(keep, pos, 0).astype(jnp.int32)
+    wstart = base >> 3
+    align = base & 7
+    widx = wstart[..., None] + jnp.arange(NW, dtype=jnp.int32)
+    widx = jnp.clip(widx, 0, mixref_words.shape[0] - 1)
+    words = mixref_words[widx]                          # (B, U, NW)
+    shifts = (jnp.arange(8, dtype=jnp.uint32) * 4)
+    nib = ((words[..., None] >> shifts) & jnp.uint32(15)).astype(jnp.uint8)
+    nib = nib.reshape(B, U, NP)                          # (B, U, NP)
+
+    # read one-hot placed at each of the 8 possible alignments
+    bits = NT2BIT[jnp.clip(seq, 0, 4)]                   # (B, L) uint8
+    a8 = jnp.arange(8, dtype=jnp.int32)
+    j = jnp.arange(NP, dtype=jnp.int32)
+    # pat8[b, a, j] = bits[b, j - a] if 0 <= j - a < L else 0
+    rel = j[None, :] - a8[:, None]                       # (8, NP)
+    valid = (rel >= 0) & (rel < L)
+    relc = jnp.clip(rel, 0, L - 1)
+    pat8 = jnp.where(valid[None], bits[:, relc], 0)      # (B, 8, NP)
+    win8 = valid                                         # (8, NP)
+
+    pat = jnp.take_along_axis(
+        pat8, jnp.broadcast_to(align[:, :, None], (B, U, NP)), axis=1
+    )                                                    # (B, U, NP)
+    win = win8[align]                                    # (B, U, NP)
+    mism = win & ((nib & pat) == 0)
+    counts = jnp.minimum(jnp.sum(mism, axis=-1, dtype=jnp.int32), clamp)
+    counts = jnp.where(keep, counts, BIG)
+    return StrandVerify(counts=counts, checked=keep, pos=pos)
+
+
 def mismatch_counts(
     mixref: jnp.ndarray,    # uint8 [l_mref]
     loci: Loci,             # sorted

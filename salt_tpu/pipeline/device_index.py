@@ -19,37 +19,63 @@ class DeviceIndex:
     ri_c: RankIndex       # C-part rank structure (5 symbols incl. sentinel)
     ri_r: RankIndex       # R-part rank structure (6 symbols incl. sentinel)
     lkt: jnp.ndarray      # uint32 [4^12+1]
+    r_lkt_sp: jnp.ndarray # uint32 [4^12] exact R 12-mer intervals
+    r_lkt_ep: jnp.ndarray
     csa: jnp.ndarray      # uint32 [L+1]
     r_coord: jnp.ndarray  # uint32 [T+1]
     mixref: jnp.ndarray   # uint8  [L]
+    mixref_words: jnp.ndarray  # uint32 [ceil(L/8)+2] little-endian nibbles
     l_pac: int
     l_seed: int
 
     def tree_flatten(self):
         return (
-            (self.ri_c, self.ri_r, self.lkt, self.csa, self.r_coord, self.mixref),
+            (
+                self.ri_c, self.ri_r, self.lkt, self.r_lkt_sp, self.r_lkt_ep,
+                self.csa, self.r_coord, self.mixref, self.mixref_words,
+            ),
             (self.l_pac, self.l_seed),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        ri_c, ri_r, lkt, csa, r_coord, mixref = children
+        (ri_c, ri_r, lkt, r_lkt_sp, r_lkt_ep, csa, r_coord, mixref,
+         mixref_words) = children
         return cls(
-            ri_c=ri_c, ri_r=ri_r, lkt=lkt, csa=csa, r_coord=r_coord,
-            mixref=mixref, l_pac=aux[0], l_seed=aux[1],
+            ri_c=ri_c, ri_r=ri_r, lkt=lkt, r_lkt_sp=r_lkt_sp,
+            r_lkt_ep=r_lkt_ep, csa=csa, r_coord=r_coord, mixref=mixref,
+            mixref_words=mixref_words, l_pac=aux[0], l_seed=aux[1],
         )
+
+
+def pack_nibbles(mixref: np.ndarray) -> np.ndarray:
+    """uint8 nibbles -> uint32 words, little-endian within the word
+    (matches the mixRef pac layout, metaref.c:54-56)."""
+    n = len(mixref)
+    W = (n + 7) // 8 + 2
+    padded = np.zeros(W * 8, dtype=np.uint32)
+    padded[:n] = mixref
+    words = np.zeros(W, dtype=np.uint32)
+    for j in range(8):
+        words |= padded[j::8] << np.uint32(4 * j)
+    return words
 
 
 def to_device_index(idx: SaltIndex) -> DeviceIndex:
     ri_c = build_rank_index(idx.cbwt, 5, np.append(idx.c_l2, 0), C_SENTINEL)
     ri_r = build_rank_index(idx.rbwt, 6, np.append(idx.r_cumfreq, 0), R_SENTINEL)
+    if idx.r_lkt_sp is None:
+        raise ValueError("index missing r_lkt tables; rebuild with current version")
     return DeviceIndex(
         ri_c=ri_c,
         ri_r=ri_r,
         lkt=jnp.asarray(idx.lkt),
+        r_lkt_sp=jnp.asarray(idx.r_lkt_sp),
+        r_lkt_ep=jnp.asarray(idx.r_lkt_ep),
         csa=jnp.asarray(idx.csa),
         r_coord=jnp.asarray(idx.r_coord),
         mixref=jnp.asarray(idx.mixref),
+        mixref_words=jnp.asarray(pack_nibbles(idx.mixref)),
         l_pac=idx.l_pac,
         l_seed=idx.l_seed,
     )

@@ -7,9 +7,23 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import List, Optional
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent XLA compilation cache: the pipeline's fixed-shape programs
+# compile once per (batch-shape, option) combination ever, not per process
+_cache_dir = os.environ.get(
+    "SALT_TPU_CACHE", os.path.expanduser("~/.cache/salt_tpu/xla")
+)
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
 
 from ..constants import (
     DEFAULT_MAX_LOCATE,
@@ -23,7 +37,7 @@ from ..io.fasta import read_records, trim_readno
 from ..io.sam import build_xa, emit_se, sam_header
 from ..ops.lv import NT2BIT_NP, lv_cigar_host
 from .device_index import DeviceIndex, to_device_index
-from .se import se_gapped, se_ungapped
+from .se import se_gapped, se_ungapped, se_ungapped_full
 
 
 @dataclass
@@ -35,10 +49,11 @@ class SEOptions:
     print_xa_cigar: bool = False
     print_nm_md: bool = False
     rg_id: Optional[str] = None
-    batch_size: int = 2048
+    batch_size: int = 4096
     gap_batch: int = 64
     k_hits: int = 16
     cap_margin: int = 128
+    verify_width: int = 64   # compact unique-candidate width (u)
 
     def cap(self) -> int:
         c = self.max_locate + self.cap_margin
@@ -111,6 +126,21 @@ class SEAligner:
 
     # ---------------- device dispatch ----------------
 
+    def _subbatch(self, fn, rows, fixed, *arrays):
+        """Run `fn` over `rows` in fixed-size padded sub-batches; returns
+        a dict row -> per-row result tree."""
+        merged = {}
+        for start in range(0, len(rows), fixed):
+            rr = rows[start : start + fixed]
+            pad = fixed - len(rr)
+            rows_p = np.concatenate([rr, np.zeros(pad, dtype=rr.dtype)])
+            sel = jnp.asarray(rows_p)
+            sub = fn(sel)
+            sub = jax.tree_util.tree_map(np.asarray, sub)
+            for i, r in enumerate(rr):
+                merged[int(r)] = jax.tree_util.tree_map(lambda a: a[i], sub)
+        return merged
+
     def _run_batch(self, codes: np.ndarray):
         """codes: (B, L) uint8.  Returns per-read numpy results."""
         o = self.opts
@@ -120,35 +150,56 @@ class SEAligner:
         out = se_ungapped(
             self.dix, fwd, rev,
             l_overlap=o.l_overlap, max_seed=o.max_seed,
-            max_locate=o.max_locate, cap=o.cap(), k_hits=o.k_hits,
+            max_locate=o.max_locate, cap=o.cap(), u=o.verify_width,
+            k_hits=o.k_hits,
         )
         res = jax.tree_util.tree_map(np.asarray, out.res)
         needs_gap = np.asarray(out.needs_gap)
-        gap_res = None
+        overflow = np.asarray(out.overflow)
+        take = jax.tree_util.tree_map
+
+        # rare fallback: reads whose unique candidates overflowed `u`
+        ovf_rows = np.nonzero(overflow)[0]
+        full_res = {}
+        if len(ovf_rows):
+            full_res = self._subbatch(
+                lambda sel: se_ungapped_full(
+                    self.dix, fwd[sel], rev[sel],
+                    take(lambda a: a[sel], out.loci0),
+                    take(lambda a: a[sel], out.loci1),
+                    max_locate=o.max_locate, cap=o.cap(), k_hits=o.k_hits,
+                ),
+                ovf_rows, o.gap_batch,
+            )
+            for r, v in full_res.items():
+                needs_gap[r] = not bool(v.found)
+
+        gap_res = {}
         gap_rows = np.nonzero(needs_gap)[0]
         if len(gap_rows):
             k = max(L // 10, 0)
-            GB = o.gap_batch
-            merged = {}
-            for start in range(0, len(gap_rows), GB):
-                rows = gap_rows[start : start + GB]
-                pad = GB - len(rows)
-                rows_p = np.concatenate([rows, np.zeros(pad, dtype=rows.dtype)])
-                sel = jnp.asarray(rows_p)
-                sub = se_gapped(
-                    self.dix,
-                    fwd[sel],
-                    rev[sel],
-                    jax.tree_util.tree_map(lambda a: a[sel], out.loci0),
-                    jax.tree_util.tree_map(lambda a: a[sel], out.loci1),
-                    k=k,
-                    k_hits=o.k_hits,
+
+            def run_gap(sel, u):
+                return se_gapped(
+                    self.dix, fwd[sel], rev[sel],
+                    take(lambda a: a[sel], out.loci0),
+                    take(lambda a: a[sel], out.loci1),
+                    k=k, u=u, k_hits=o.k_hits,
                 )
-                sub = jax.tree_util.tree_map(np.asarray, sub)
-                for i, r in enumerate(rows):
-                    merged[int(r)] = jax.tree_util.tree_map(lambda a: a[i], sub)
-            gap_res = merged
-        return res, needs_gap, gap_res
+
+            gout = self._subbatch(
+                lambda sel: run_gap(sel, o.verify_width), gap_rows, o.gap_batch
+            )
+            # gapped overflow -> full-width gapped verify
+            govf = [r for r, v in gout.items() if bool(v.overflow)]
+            if govf:
+                gfull = self._subbatch(
+                    lambda sel: run_gap(sel, o.cap()), np.array(govf), 8
+                )
+                for r, v in gfull.items():
+                    gout[r] = v
+            gap_res = {r: v.res for r, v in gout.items()}
+        return res, needs_gap, gap_res, full_res
 
     # ---------------- per-read finalization ----------------
 
@@ -212,15 +263,18 @@ class SEAligner:
                 chunk = np.concatenate(
                     [chunk, np.zeros((B - nb, chunk.shape[1]), dtype=np.uint8)]
                 )
-            res, needs_gap, gap_res = self._run_batch(chunk)
+            res, needs_gap, gap_res, full_res = self._run_batch(chunk)
             for i in range(nb):
                 gi = start + i
                 if n_amb[gi] > SE_MAX_N_AMBIGUOUS:
                     out_records[gi] = ""  # reference emits a blank line
                     continue
-                if needs_gap[i] and gap_res is not None and i in gap_res:
+                if needs_gap[i] and i in gap_res:
                     r = gap_res[i]
                     is_gap = True
+                elif i in full_res:
+                    r = full_res[i]
+                    is_gap = False
                 else:
                     r = jax.tree_util.tree_map(lambda a: a[i], res)
                     is_gap = False

@@ -4,6 +4,11 @@ Mirrors alnse_overlap_alt (Align_src/alnse.c:1045-1104): seed both
 strands, locate, ungapped check with the shrinking threshold, and — only
 for reads with no ungapped hit on either strand — the gapped
 Landau-Vishkin check (alnse_check_withgap, alnse.c:871-901).
+
+For throughput, verification is compacted to the first `u` unique
+in-range candidates per read (enough for essentially all reads; the
+few reads with more flow through a full-width fallback so the result is
+still reference-exact).
 """
 
 from __future__ import annotations
@@ -14,18 +19,16 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..constants import (
-    GAP_WINDOW_PAD,
-    NOGAP_MAX_DIFF,
-    UINT32_MAX,
-)
+from ..constants import GAP_WINDOW_PAD, NOGAP_MAX_DIFF, UINT32_MAX
 from ..ops.locate import Loci, locate, sort_loci
 from ..ops.lv import lv_distance_batch
 from ..ops.seed import seed_overlap
 from ..ops.verify import (
     SEResult,
     StrandVerify,
-    mismatch_counts,
+    checked_mask,
+    compact_loci,
+    mismatch_counts_packed,
     replay_and_select,
 )
 from .device_index import DeviceIndex
@@ -34,11 +37,25 @@ from .device_index import DeviceIndex
 class UngappedOut(NamedTuple):
     res: SEResult
     needs_gap: jnp.ndarray   # bool (B,)
+    overflow: jnp.ndarray    # bool (B,) verify truncated; rerun via fallback
     loci0: Loci
     loci1: Loci
 
 
-@partial(jax.jit, static_argnames=("l_overlap", "max_seed", "max_locate", "cap", "k_hits"))
+def _seed_and_locate(dix: DeviceIndex, seq, l_overlap, max_seed, max_locate, cap):
+    L = seq.shape[-1]
+    c_seeds, r_seeds = seed_overlap(
+        dix.ri_c, dix.ri_r, dix.lkt, seq, dix.l_seed, l_overlap, max_seed,
+        r_lkt_sp=dix.r_lkt_sp, r_lkt_ep=dix.r_lkt_ep,
+    )
+    lc = locate(
+        c_seeds, r_seeds, dix.csa, dix.r_coord, L, dix.l_pac, max_locate, cap
+    )
+    return sort_loci(lc)
+
+
+@partial(jax.jit, static_argnames=(
+    "l_overlap", "max_seed", "max_locate", "cap", "u", "k_hits"))
 def se_ungapped(
     dix: DeviceIndex,
     seq_f: jnp.ndarray,     # (B, L) forward codes
@@ -47,28 +64,89 @@ def se_ungapped(
     max_seed: int,
     max_locate: int,
     cap: int,
-    k_hits: int = 8,
+    u: int = 64,
+    k_hits: int = 16,
 ) -> UngappedOut:
-    L = seq_f.shape[-1]
-
     def one_strand(seq):
-        c_seeds, r_seeds = seed_overlap(
-            dix.ri_c, dix.ri_r, dix.lkt, seq, dix.l_seed, l_overlap, max_seed
+        lc = _seed_and_locate(dix, seq, l_overlap, max_seed, max_locate, cap)
+        chk = checked_mask(lc, dix.l_pac)
+        pos, keep, ovf = compact_loci(lc, chk, u)
+        v = mismatch_counts_packed(
+            dix.mixref_words, pos, keep, seq, NOGAP_MAX_DIFF + 1
         )
-        lc = locate(
-            c_seeds, r_seeds, dix.csa, dix.r_coord, L, dix.l_pac,
-            max_locate, cap,
-        )
-        lc = sort_loci(lc)
-        return lc, mismatch_counts(dix.mixref, lc, seq, dix.l_pac)
+        return lc, v, ovf
 
-    loci0, v0 = one_strand(seq_f)
-    loci1, v1 = one_strand(seq_r)
+    loci0, v0, ovf0 = one_strand(seq_f)
+    loci1, v1, ovf1 = one_strand(seq_r)
     res = replay_and_select(v0, v1, NOGAP_MAX_DIFF, k_hits)
-    return UngappedOut(res=res, needs_gap=~res.found, loci0=loci0, loci1=loci1)
+    return UngappedOut(
+        res=res,
+        needs_gap=~res.found,
+        overflow=ovf0 | ovf1,
+        loci0=loci0,
+        loci1=loci1,
+    )
 
 
-@partial(jax.jit, static_argnames=("k", "chunk", "k_hits"))
+@partial(jax.jit, static_argnames=("max_locate", "cap", "k_hits"))
+def se_ungapped_full(
+    dix: DeviceIndex,
+    seq_f: jnp.ndarray,
+    seq_r: jnp.ndarray,
+    loci0: Loci,
+    loci1: Loci,
+    max_locate: int,
+    cap: int,
+    k_hits: int = 16,
+) -> SEResult:
+    """Full-width verify fallback for reads whose unique-candidate count
+    exceeded the compact width (rare).  Reuses located loci."""
+    def one(lc, seq):
+        chk = checked_mask(lc, dix.l_pac)
+        pos, keep, _ = compact_loci(lc, chk, lc.pos.shape[-1])
+        return mismatch_counts_packed(
+            dix.mixref_words, pos, keep, seq, NOGAP_MAX_DIFF + 1
+        )
+
+    v0 = one(loci0, seq_f)
+    v1 = one(loci1, seq_r)
+    return replay_and_select(v0, v1, NOGAP_MAX_DIFF, k_hits)
+
+
+class GappedOut(NamedTuple):
+    res: SEResult
+    overflow: jnp.ndarray
+
+
+def _gapped_checked(loci: Loci, L: int, l_mref: int):
+    B = loci.pos.shape[0]
+    pos = loci.pos
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), UINT32_MAX, dtype=pos.dtype), pos[:, :-1]], axis=1
+    )
+    end_u = pos + jnp.uint32(L + GAP_WINDOW_PAD)
+    # skip rule of alnse_check_withgap (alnse.c:894), uint32 wraparound
+    return loci.pushed & (pos != prev) & (end_u < jnp.uint32(l_mref))
+
+
+def _gapped_verify(dix, loci, seq, u, k):
+    B, L = seq.shape
+    checked = _gapped_checked(loci, L, dix.l_pac)
+    pos, keep, ovf = compact_loci(loci, checked, u)
+    end_u = pos + jnp.uint32(L + GAP_WINDOW_PAD)
+    in_ref = keep & (pos <= jnp.uint32(dix.l_pac)) & (end_u <= jnp.uint32(dix.l_pac))
+    d = lv_distance_batch(
+        dix.mixref,
+        pos.astype(jnp.int32).reshape(-1),
+        in_ref.reshape(-1),
+        jnp.repeat(seq, u, axis=0),
+        k,
+    ).reshape(B, u)
+    counts = jnp.where(keep, jnp.minimum(d, k + 1), 255)
+    return StrandVerify(counts=counts, checked=keep, pos=pos), ovf
+
+
+@partial(jax.jit, static_argnames=("k", "u", "k_hits"))
 def se_gapped(
     dix: DeviceIndex,
     seq_f: jnp.ndarray,   # (Bg, L)
@@ -76,52 +154,10 @@ def se_gapped(
     loci0: Loci,          # (Bg, CAP) sorted
     loci1: Loci,
     k: int,
-    chunk: int = 64,
-    k_hits: int = 8,
-) -> SEResult:
-    Bg, L = seq_f.shape
-    CAP = loci0.pos.shape[-1]
-    l_mref = dix.l_pac
-
-    def strand_verify(loci: Loci, seq) -> StrandVerify:
-        pos = loci.pos
-        prev = jnp.concatenate(
-            [jnp.full((Bg, 1), UINT32_MAX, dtype=pos.dtype), pos[:, :-1]],
-            axis=1,
-        )
-        # skip rule of alnse_check_withgap (alnse.c:894): uint32 wraparound
-        end_u = pos + jnp.uint32(L + GAP_WINDOW_PAD)
-        checked = loci.pushed & (pos != prev) & (end_u < jnp.uint32(l_mref))
-        # ed_diff guard (editdistance.c:178): out-of-range -> -1 (BIG)
-        in_ref = (pos <= jnp.uint32(l_mref)) & (end_u <= jnp.uint32(l_mref))
-        active = checked & in_ref
-
-        n_chunks = CAP // chunk
-        pos_c = pos.astype(jnp.int32).reshape(Bg, n_chunks, chunk)
-        act_c = active.reshape(Bg, n_chunks, chunk)
-
-        def do_chunk(c):
-            p, a = c
-            # flatten (Bg, chunk) -> (Bg*chunk,)
-            d = lv_distance_batch(
-                dix.mixref,
-                p.reshape(-1),
-                a.reshape(-1),
-                jnp.repeat(seq, chunk, axis=0),
-                k,
-            )
-            return d.reshape(Bg, chunk)
-
-        dists = jax.lax.map(
-            do_chunk, (jnp.moveaxis(pos_c, 1, 0), jnp.moveaxis(act_c, 1, 0))
-        )  # (n_chunks, Bg, chunk)
-        dists = jnp.moveaxis(dists, 0, 1).reshape(Bg, CAP)
-        counts = jnp.where(checked, jnp.where(active, dists, 255), 255)
-        # clamp: anything above k can never be a hit
-        counts = jnp.minimum(counts, k + 1)
-        counts = jnp.where(checked, counts, 255)
-        return StrandVerify(counts=counts, checked=checked, pos=pos)
-
-    v0 = strand_verify(loci0, seq_f)
-    v1 = strand_verify(loci1, seq_r)
-    return replay_and_select(v0, v1, k, k_hits)
+    u: int = 64,
+    k_hits: int = 16,
+) -> GappedOut:
+    v0, ovf0 = _gapped_verify(dix, loci0, seq_f, u, k)
+    v1, ovf1 = _gapped_verify(dix, loci1, seq_r, u, k)
+    res = replay_and_select(v0, v1, k, k_hits)
+    return GappedOut(res=res, overflow=ovf0 | ovf1)

@@ -1,0 +1,48 @@
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax, jax.numpy as jnp, numpy as np
+from functools import partial
+from salt_tpu.index.build import build_index
+from salt_tpu.io.fasta import read_records
+from salt_tpu.pipeline.device_index import to_device_index
+from salt_tpu.pipeline.engine import SEOptions, encode_reads, revcomp
+from salt_tpu.ops.seed import seed_overlap
+from salt_tpu.ops.locate import locate, sort_loci
+from salt_tpu.ops.verify import mismatch_counts, replay_and_select
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+idx = build_index("/tmp/refbuild/Test/Genome/Genome.fa", "/tmp/oracle/hapmap.txt",
+                  l_seed=19, r_anchor_mode="reference_compat")
+dix = to_device_index(idx)
+recs = []
+for r in read_records("/tmp/oracle/Read1.fq"):
+    recs.append(r)
+    if len(recs) >= B: break
+codes = encode_reads([r.seq for r in recs])
+seq = jnp.asarray(codes.astype(np.int32))
+CAP = 640
+
+@partial(jax.jit)
+def f_seed(seq):
+    return seed_overlap(dix.ri_c, dix.ri_r, dix.lkt, seq, 19, 1, 50)
+
+@partial(jax.jit)
+def f_locate(seq):
+    c, r = seed_overlap(dix.ri_c, dix.ri_r, dix.lkt, seq, 19, 1, 50)
+    return sort_loci(locate(c, r, dix.csa, dix.r_coord, 100, dix.l_pac, 500, CAP))
+
+@partial(jax.jit)
+def f_verify(seq):
+    c, r = seed_overlap(dix.ri_c, dix.ri_r, dix.lkt, seq, 19, 1, 50)
+    lc = sort_loci(locate(c, r, dix.csa, dix.r_coord, 100, dix.l_pac, 500, CAP))
+    return mismatch_counts(dix.mixref, lc, seq, dix.l_pac)
+
+def bench(name, fn):
+    t0=time.time(); out = fn(seq); jax.block_until_ready(out); tc=time.time()-t0
+    t0=time.time(); out = fn(seq); jax.block_until_ready(out); tr=time.time()-t0
+    t0=time.time(); out = fn(seq); jax.block_until_ready(out); tr2=time.time()-t0
+    print(f"{name}: compile {tc:.1f}s run {min(tr,tr2)*1000:.0f}ms")
+
+bench("seed", f_seed)
+bench("seed+locate", f_locate)
+bench("seed+locate+verify", f_verify)
