@@ -101,11 +101,15 @@ def locate(
     )
     in_range = (slots[None, :] < total[:, None]) & (seed_of_rankpos >= 0)
 
-    g = lambda a: jnp.take_along_axis(a, seed_idx, axis=-1)
-    within = slots[None, :] - g(cum_ex)
-    rank = g(sp) + within * g(skip)
-    slot_is_r = g(is_r)
-    offset = g(off)
+    # fused per-seed attribute gather: one row gather instead of four
+    attrs = jnp.stack(
+        [sp, off, cum_ex, skip * 2 + is_r.astype(jnp.int32)], axis=-1
+    )  # (B, 2S, 4)
+    rows = jnp.take_along_axis(attrs, seed_idx[..., None], axis=1)  # (B,cap,4)
+    within = slots[None, :] - rows[..., 2]
+    rank = rows[..., 0] + within * (rows[..., 3] >> 1)
+    slot_is_r = (rows[..., 3] & 1).astype(bool)
+    offset = rows[..., 1]
 
     sa_c = csa[jnp.clip(rank, 0, csa.shape[0] - 1)]
     sa_r = r_coord[jnp.clip(rank, 0, r_coord.shape[0] - 1)]

@@ -109,13 +109,13 @@ def seed_overlap(
     the R backward search jumps 12 steps at once — result-identical to 12
     LF steps from the full interval."""
     B, L = seq.shape
-    starts = jnp.arange(0, L - l_seed + 1, l_overlap, dtype=jnp.int32)  # (S,)
+    starts_list = list(range(0, L - l_seed + 1, l_overlap))
+    starts = jnp.asarray(starts_list, dtype=jnp.int32)     # (S,)
     S = starts.shape[0]
     p = jnp.broadcast_to(starts, (B, S))
 
-    # gather the seed windows: (B, S, l_seed)
-    idx = p[..., None] + jnp.arange(l_seed, dtype=jnp.int32)
-    win = jnp.take_along_axis(seq[:, None, :], idx, axis=-1)
+    # seed windows as static slices (no gather): (B, S, l_seed)
+    win = jnp.stack([seq[:, s0 : s0 + l_seed] for s0 in starts_list], axis=1)
 
     # ---- C part ----
     tail = win[..., l_seed - l_lkt :]                       # (B, S, 12)

@@ -103,7 +103,9 @@ def mismatch_counts_packed(
     nib = ((words[..., None] >> shifts) & jnp.uint32(15)).astype(jnp.uint8)
     nib = nib.reshape(B, U, NP)                          # (B, U, NP)
 
-    # read one-hot placed at each of the 8 possible alignments
+    # read one-hot placed at each of the 8 possible alignments; compute
+    # the mismatch count for ALL 8 shifts on the VPU and select by align
+    # afterwards — avoids a huge per-element gather.
     bits = NT2BIT[jnp.clip(seq, 0, 4)]                   # (B, L) uint8
     a8 = jnp.arange(8, dtype=jnp.int32)
     j = jnp.arange(NP, dtype=jnp.int32)
@@ -112,14 +114,11 @@ def mismatch_counts_packed(
     valid = (rel >= 0) & (rel < L)
     relc = jnp.clip(rel, 0, L - 1)
     pat8 = jnp.where(valid[None], bits[:, relc], 0)      # (B, 8, NP)
-    win8 = valid                                         # (8, NP)
 
-    pat = jnp.take_along_axis(
-        pat8, jnp.broadcast_to(align[:, :, None], (B, U, NP)), axis=1
-    )                                                    # (B, U, NP)
-    win = win8[align]                                    # (B, U, NP)
-    mism = win & ((nib & pat) == 0)
-    counts = jnp.minimum(jnp.sum(mism, axis=-1, dtype=jnp.int32), clamp)
+    mism8 = valid[None, None] & ((nib[:, :, None, :] & pat8[:, None]) == 0)
+    counts8 = jnp.sum(mism8, axis=-1, dtype=jnp.int32)   # (B, U, 8)
+    counts = jnp.take_along_axis(counts8, align[..., None], axis=-1)[..., 0]
+    counts = jnp.minimum(counts, clamp)
     counts = jnp.where(keep, counts, BIG)
     return StrandVerify(counts=counts, checked=keep, pos=pos)
 

@@ -37,7 +37,19 @@ from ..io.fasta import read_records, trim_readno
 from ..io.sam import build_xa, emit_se, sam_header
 from ..ops.lv import NT2BIT_NP, lv_cigar_host
 from .device_index import DeviceIndex, to_device_index
-from .se import se_gapped, se_ungapped, se_ungapped_full
+from .se import (
+    pack_result,
+    se_gapped,
+    se_ungapped,
+    se_ungapped_full,
+    unpack_result,
+)
+
+_pack_ungapped = jax.jit(
+    lambda res, needs_gap, ovf: pack_result(res, (needs_gap, ovf))
+)
+_pack_plain = jax.jit(lambda res: pack_result(res))
+_pack_gapped = jax.jit(lambda g: pack_result(g.res, (g.overflow,)))
 
 
 @dataclass
@@ -126,53 +138,57 @@ class SEAligner:
 
     # ---------------- device dispatch ----------------
 
-    def _subbatch(self, fn, rows, fixed, *arrays):
-        """Run `fn` over `rows` in fixed-size padded sub-batches; returns
-        a dict row -> per-row result tree."""
-        merged = {}
+    def _subbatch_packed(self, fn, rows, fixed):
+        """Run `fn` (returning a packed int32 matrix) over `rows` in
+        fixed-size padded sub-batches; returns a packed matrix aligned
+        with `rows`."""
+        parts = []
         for start in range(0, len(rows), fixed):
             rr = rows[start : start + fixed]
             pad = fixed - len(rr)
             rows_p = np.concatenate([rr, np.zeros(pad, dtype=rr.dtype)])
-            sel = jnp.asarray(rows_p)
-            sub = fn(sel)
-            sub = jax.tree_util.tree_map(np.asarray, sub)
-            for i, r in enumerate(rr):
-                merged[int(r)] = jax.tree_util.tree_map(lambda a: a[i], sub)
-        return merged
+            sub = np.asarray(fn(jnp.asarray(rows_p)))
+            parts.append(sub[: len(rr)])
+        return np.concatenate(parts, axis=0)
 
     def _run_batch(self, codes: np.ndarray):
-        """codes: (B, L) uint8.  Returns per-read numpy results."""
+        """codes: (B, L) uint8.  Returns per-read numpy result dicts:
+        (ungapped, needs_gap mask, gapped dict row->result, full dict)."""
         o = self.opts
         B, L = codes.shape
+        K = o.k_hits
         fwd = jnp.asarray(codes.astype(np.int32))
         rev = jnp.asarray(revcomp(codes).astype(np.int32))
         out = se_ungapped(
             self.dix, fwd, rev,
             l_overlap=o.l_overlap, max_seed=o.max_seed,
             max_locate=o.max_locate, cap=o.cap(), u=o.verify_width,
-            k_hits=o.k_hits,
+            k_hits=K,
         )
-        res = jax.tree_util.tree_map(np.asarray, out.res)
-        needs_gap = np.asarray(out.needs_gap)
-        overflow = np.asarray(out.overflow)
+        packed = np.asarray(_pack_ungapped(out.res, out.needs_gap, out.overflow))
+        res = unpack_result(packed, K)
+        needs_gap = res["n_extra"][:, 0].astype(bool)
+        overflow = res["n_extra"][:, 1].astype(bool)
         take = jax.tree_util.tree_map
 
-        # rare fallback: reads whose unique candidates overflowed `u`
-        ovf_rows = np.nonzero(overflow)[0]
         full_res = {}
+        ovf_rows = np.nonzero(overflow)[0]
         if len(ovf_rows):
-            full_res = self._subbatch(
-                lambda sel: se_ungapped_full(
-                    self.dix, fwd[sel], rev[sel],
-                    take(lambda a: a[sel], out.loci0),
-                    take(lambda a: a[sel], out.loci1),
-                    max_locate=o.max_locate, cap=o.cap(), k_hits=o.k_hits,
+            fp = self._subbatch_packed(
+                lambda sel: _pack_plain(
+                    se_ungapped_full(
+                        self.dix, fwd[sel], rev[sel],
+                        take(lambda a: a[sel], out.loci0),
+                        take(lambda a: a[sel], out.loci1),
+                        max_locate=o.max_locate, cap=o.cap(), k_hits=K,
+                    )
                 ),
                 ovf_rows, o.gap_batch,
             )
-            for r, v in full_res.items():
-                needs_gap[r] = not bool(v.found)
+            fr = unpack_result(fp, K)
+            for i, r in enumerate(ovf_rows):
+                full_res[int(r)] = {k: v[i] for k, v in fr.items()}
+                needs_gap[r] = not bool(fr["found"][i])
 
         gap_res = {}
         gap_rows = np.nonzero(needs_gap)[0]
@@ -180,25 +196,30 @@ class SEAligner:
             k = max(L // 10, 0)
 
             def run_gap(sel, u):
-                return se_gapped(
-                    self.dix, fwd[sel], rev[sel],
-                    take(lambda a: a[sel], out.loci0),
-                    take(lambda a: a[sel], out.loci1),
-                    k=k, u=u, k_hits=o.k_hits,
+                return _pack_gapped(
+                    se_gapped(
+                        self.dix, fwd[sel], rev[sel],
+                        take(lambda a: a[sel], out.loci0),
+                        take(lambda a: a[sel], out.loci1),
+                        k=k, u=u, k_hits=K,
+                    )
                 )
 
-            gout = self._subbatch(
+            gp = self._subbatch_packed(
                 lambda sel: run_gap(sel, o.verify_width), gap_rows, o.gap_batch
             )
-            # gapped overflow -> full-width gapped verify
-            govf = [r for r, v in gout.items() if bool(v.overflow)]
+            gr = unpack_result(gp, K)
+            for i, r in enumerate(gap_rows):
+                gap_res[int(r)] = {kk: v[i] for kk, v in gr.items()}
+            govf = [r for i, r in enumerate(gap_rows)
+                    if bool(gr["n_extra"][i, 0])]
             if govf:
-                gfull = self._subbatch(
+                gfp = self._subbatch_packed(
                     lambda sel: run_gap(sel, o.cap()), np.array(govf), 8
                 )
-                for r, v in gfull.items():
-                    gout[r] = v
-            gap_res = {r: v.res for r, v in gout.items()}
+                gfr = unpack_result(gfp, K)
+                for i, r in enumerate(govf):
+                    gap_res[int(r)] = {kk: v[i] for kk, v in gfr.items()}
         return res, needs_gap, gap_res, full_res
 
     # ---------------- per-read finalization ----------------
@@ -276,13 +297,13 @@ class SEAligner:
                     r = full_res[i]
                     is_gap = False
                 else:
-                    r = jax.tree_util.tree_map(lambda a: a[i], res)
+                    r = {k: v[i] for k, v in res.items()}
                     is_gap = False
                 out_records[gi] = self._finalize_read(
                     names[gi], codes[gi], rcodes[gi], quals[gi],
-                    bool(r.found), int(r.pos), int(r.strand), int(r.n_diff),
-                    is_gap, np.asarray(r.n_hits), np.asarray(r.first_hit_ndiff),
-                    np.asarray(r.hits_pos), np.asarray(r.hits_ndiff),
+                    bool(r["found"]), int(r["pos"]), int(r["strand"]),
+                    int(r["n_diff"]), is_gap, r["n_hits"],
+                    r["first_hit_ndiff"], r["hits_pos"], r["hits_ndiff"],
                 )
         return out_records
 

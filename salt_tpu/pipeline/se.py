@@ -42,6 +42,48 @@ class UngappedOut(NamedTuple):
     loci1: Loci
 
 
+def pack_result(res: SEResult, extra=None) -> jnp.ndarray:
+    """Flatten an SEResult (+ optional (B,) extra flags) into one int32
+    matrix so the host needs a single device->host transfer.
+    Layout: [found, pos, strand, n_diff, n_hits(2), first_hit_ndiff(2),
+    hits_pos(2K), hits_ndiff(2K), extras...]."""
+    B = res.found.shape[0]
+    K = res.hits_pos.shape[-1]
+    cols = [
+        res.found.astype(jnp.int32)[:, None],
+        res.pos.astype(jnp.int32)[:, None],     # bit-pattern preserved
+        res.strand[:, None],
+        res.n_diff[:, None],
+        res.n_hits.reshape(B, 2),
+        res.first_hit_ndiff.reshape(B, 2),
+        res.hits_pos.astype(jnp.int32).reshape(B, 2 * K),
+        res.hits_ndiff.reshape(B, 2 * K),
+    ]
+    if extra is not None:
+        cols.extend(e.astype(jnp.int32)[:, None] for e in extra)
+    return jnp.concatenate(cols, axis=1)
+
+
+def unpack_result(arr, k_hits: int):
+    """numpy view of a pack_result matrix -> dict of arrays."""
+    import numpy as np
+
+    K = k_hits
+    B = arr.shape[0]
+    out = {
+        "found": arr[:, 0].astype(bool),
+        "pos": arr[:, 1].astype(np.uint32),
+        "strand": arr[:, 2],
+        "n_diff": arr[:, 3],
+        "n_hits": arr[:, 4:6],
+        "first_hit_ndiff": arr[:, 6:8],
+        "hits_pos": arr[:, 8 : 8 + 2 * K].reshape(B, 2, K).astype(np.uint32),
+        "hits_ndiff": arr[:, 8 + 2 * K : 8 + 4 * K].reshape(B, 2, K),
+    }
+    out["n_extra"] = arr[:, 8 + 4 * K :]
+    return out
+
+
 def _seed_and_locate(dix: DeviceIndex, seq, l_overlap, max_seed, max_locate, cap):
     L = seq.shape[-1]
     c_seeds, r_seeds = seed_overlap(
