@@ -272,6 +272,22 @@ def build_index(
     keep_r_text: bool = False,
     r_anchor_mode: str = "exact",
 ) -> SaltIndex:
+    contigs = [(rec.name, rec.comment or "(null)", rec.seq)
+               for rec in read_records(fasta_path)]
+    blocks = list(read_snp_blocks(snp_path))
+    return build_index_from_data(
+        contigs, blocks, l_seed=l_seed, keep_r_text=keep_r_text,
+        r_anchor_mode=r_anchor_mode,
+    )
+
+
+def build_index_from_data(
+    contig_data,
+    blocks,
+    l_seed: int = DEFAULT_L_SEED,
+    keep_r_text: bool = False,
+    r_anchor_mode: str = "exact",
+) -> SaltIndex:
     """Build the full alignment index.
 
     r_anchor_mode:
@@ -291,17 +307,12 @@ def build_index(
     contigs: List[Contig] = []
     contig_seqs: List[str] = []
     offset = 0
-    for rec in read_records(fasta_path):
-        contig_seqs.append(rec.seq)
+    for name, anno, seq in contig_data:
+        contig_seqs.append(seq)
         contigs.append(
-            Contig(
-                name=rec.name,
-                anno=rec.comment or "(null)",
-                offset=offset,
-                length=len(rec.seq),
-            )
+            Contig(name=name, anno=anno, offset=offset, length=len(seq))
         )
-        offset += len(rec.seq)
+        offset += len(seq)
     l_pac = offset
     genome = "".join(contig_seqs)
     raw_codes = encode_seq(genome)
@@ -323,9 +334,6 @@ def build_index(
                 | (chars[idx[1:]] != chars[idx[:-1]])
             )[0]
             c.n_ambs = 1 + len(breaks)
-
-    # --- SNP blocks ---
-    blocks = list(read_snp_blocks(snp_path))
 
     # --- mixRef (mixRef.c: FASTA chars -> nibbles, OR SNP alleles per
     #     block applied to contigs in file order, no name check) ---

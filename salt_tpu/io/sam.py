@@ -136,6 +136,104 @@ def build_xa(
     return "\tXA:Z:" + "".join(parts)
 
 
+def emit_pe(index, q0, q1, min_tlen, max_tlen, print_xa_cigar, print_nm_md,
+            rg_id, lv_cigar=None):
+    """alnpe_sam (sam.c:331-457).  q0/q1 are PE _End objects.  Returns two
+    record strings, each with the reference's trailing newline (the C
+    appends '\\n' to the record and the caller's printf adds another,
+    producing a blank line after every record — reproduced by the
+    caller printing these strings with a newline)."""
+    q = (q0, q1)
+    offsets = np.array([c.offset for c in index.contigs])
+    rid = [-1, -1]
+    pos = [0, 0]
+    is_map = [False, False]
+    for i in (0, 1):
+        if q[i].pos != UINT32_MAX:
+            is_map[i] = True
+            rid[i] = coor_pac2real(offsets, len(index.contigs), q[i].pos)
+            pos[i] = q[i].pos - index.contigs[rid[i]].offset + 1
+    tlen = 0
+    if is_map[0] and is_map[1]:
+        if rid[0] != rid[1]:
+            tlen = 0
+        elif pos[0] < pos[1]:
+            tlen = pos[1] + q[1].seq_end - q[1].seq_start + 1 - pos[0]
+        else:
+            # reference quirk: q0.seq_end - q1.seq_start (sam.c:356)
+            tlen = pos[0] + q[0].seq_end - q[1].seq_start + 1 - pos[1]
+        if (tlen & 0xFFFFFFFF) > max_tlen or (tlen & 0xFFFFFFFF) < min_tlen:
+            tlen = 0
+    out = []
+    for i in (0, 1):
+        e = q[i]
+        m = q[1 - i]
+        s = [e.name]
+        flag = SAM_PAIRED
+        if not is_map[i]:
+            flag |= SAM_UNMAPPED
+        if not is_map[1 - i]:
+            flag |= SAM_MATE_UNMAPPED
+        if e.strand == 1:
+            flag |= SAM_REVERSE
+        if m.strand == 1:
+            flag |= SAM_MATE_REVERSE
+        if tlen != 0:
+            flag |= SAM_PROPER
+        flag |= SAM_READ1 if i == 0 else SAM_READ2
+        s.append(str(flag))
+        if is_map[i]:
+            cig = ""
+            if e.seq_start != 0:
+                cig += f"{e.seq_start}S"
+            cig += e.cigar
+            if e.seq_end != e.l_seq - 1:
+                cig += f"{e.l_seq - e.seq_end - 1}S"
+            s.extend([index.contigs[rid[i]].name, str(pos[i]), str(e.mapq), cig])
+        else:
+            if is_map[1 - i]:
+                s.extend([index.contigs[rid[1 - i]].name, str(pos[1 - i]),
+                          "255", "*"])
+            else:
+                s.extend(["*", "0", "255", "*"])
+        if is_map[1 - i]:
+            if rid[i] == rid[1 - i] or not is_map[i]:
+                s.append("=")
+            else:
+                s.append(index.contigs[rid[1 - i]].name)
+            s.append(str(pos[1 - i]))
+        else:
+            s.extend(["*", "0"])
+        if tlen != 0:
+            s.append(f"-{tlen}" if q[i].pos >= q[1 - i].pos else str(tlen))
+        else:
+            s.append("0")
+        if e.strand == 1:
+            s.append(seq_to_str(e.rseq))
+            s.append(e.qual[::-1] if e.qual else "*")
+        else:
+            s.append(seq_to_str(e.seq))
+            s.append(e.qual if e.qual else "*")
+        rec = "\t".join(s)
+        # XA (sam_add_xa) — hit lists already exclude the primary
+        xa_entries = []
+        for strand in (0, 1):
+            for (p, nd, g) in e.hits[strand]:
+                cigx = None
+                if print_xa_cigar and g and lv_cigar is not None:
+                    _, cigx = lv_cigar(p, e.seq if strand == 0 else e.rseq, nd)
+                xa_entries.append((strand, p, nd, cigx))
+        rec += build_xa(index, int(e.pos), e.l_seq, xa_entries, print_xa_cigar)
+        if print_nm_md and is_map[i]:
+            rec += md_nm_tag(index, int(e.pos), e.strand, e.seq, e.rseq,
+                             e.cigar, e.seq_start)
+        if rg_id is not None:
+            rec += f"\tRG:Z:{rg_id}"
+        rec += "\n"
+        out.append(rec)
+    return out
+
+
 def md_nm_tag(
     index: SaltIndex,
     pos: int,

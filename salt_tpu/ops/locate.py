@@ -37,24 +37,42 @@ def locate(
     l_mref: int,
     max_locate: int,
     cap: int,
+    pe_mode: bool = False,
 ) -> Loci:
     """Returns located candidate positions per read, sorted ascending.
 
-    Push rules mirror alnse_locate_alt exactly (uint32 arithmetic):
+    SE flavor (alnse_locate_alt, pe_mode=False), uint32 arithmetic:
       C locus pushed  iff  uint32(pos + l_seq) <= l_mref          (:673)
       R locus pushed  iff  pos <= l_mref and uint32(pos+l_seq) <= l_mref  (:717)
     and pushes stop after `max_locate` of them (:678,:719).
+
+    PE flavor (alnse_locate, pe_mode=True, alnse.c:501-629): each C seed
+    is capped at max_locate ranks on its own (:523), R seeds wider than
+    max_locate are subsampled (the reference uses rand() there — we use a
+    deterministic stride, the only intended divergence), and the global
+    cap is MAX_LOC_POS.
     """
     B, S = c_seeds.sp.shape
 
     def prep(seeds: Seeds, is_r: bool):
         width = seeds.ep - seeds.sp  # can be negative for invalid seeds
-        count = jnp.where(seeds.valid, width + 1, 0)
-        if is_r:
-            n_skip = jnp.maximum((width + 1) // MAX_LOC_POS, 1)
-            count = jnp.where(seeds.valid, width // n_skip + 1, 0)
+        if pe_mode:
+            if is_r:
+                n_skip = jnp.where(width > max_locate,
+                                   jnp.maximum(width // max_locate, 1), 1)
+                count = jnp.where(seeds.valid, width // n_skip + 1, 0)
+            else:
+                n_skip = jnp.ones_like(width)
+                count = jnp.where(
+                    seeds.valid, jnp.minimum(width + 1, max_locate), 0
+                )
         else:
-            n_skip = jnp.ones_like(width)
+            count = jnp.where(seeds.valid, width + 1, 0)
+            if is_r:
+                n_skip = jnp.maximum((width + 1) // MAX_LOC_POS, 1)
+                count = jnp.where(seeds.valid, width // n_skip + 1, 0)
+            else:
+                n_skip = jnp.ones_like(width)
         order = jnp.argsort(jnp.where(seeds.valid, width, jnp.int32(2**30)),
                             axis=-1, stable=True)
         take = lambda a: jnp.take_along_axis(a, order, axis=-1)
@@ -122,7 +140,8 @@ def locate(
     valid_push = in_range & jnp.where(slot_is_r, ok_r, ok_c)
 
     n_before = jnp.cumsum(valid_push.astype(jnp.int32), axis=-1)
-    pushed = valid_push & (n_before <= max_locate)
+    push_cap = MAX_LOC_POS if pe_mode else max_locate
+    pushed = valid_push & (n_before <= push_cap)
     return Loci(pos=pos, pushed=pushed)
 
 

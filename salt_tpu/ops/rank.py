@@ -35,26 +35,29 @@ import numpy as np
 class RankIndex:
     """Bit-plane rank structure over a symbol array of length n.
 
-    bc:   int32[n_sym, W, 2]  per symbol plane and 32-symbol word:
+    bc:   int32[n_sym * W, 2] per symbol plane and 32-symbol word
+                              (flattened plane-major for 1D gathers):
                               [..,0] exclusive count at the word start,
                               [..,1] the bit word (bit i = sym[32w+i]==c)
                               fused so one gather serves a rank query
     cfreq: int32[n_sym + 1]   C-array: cfreq[c] = #symbols < c (sentinel
                               excluded, reference L2/cumulativeFreq)
     n: int                    number of symbols
+    n_words: int              W
     """
 
     bc: jnp.ndarray
     cfreq: jnp.ndarray
     n: int
+    n_words: int
 
     def tree_flatten(self):
-        return (self.bc, self.cfreq), (self.n,)
+        return (self.bc, self.cfreq), (self.n, self.n_words)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         bc, cfreq = children
-        return cls(bc=bc, cfreq=cfreq, n=aux[0])
+        return cls(bc=bc, cfreq=cfreq, n=aux[0], n_words=aux[1])
 
 
 def build_rank_index(
@@ -79,9 +82,10 @@ def build_rank_index(
         bc[c, 1:, 0] = np.cumsum(per_word)[:-1]
         bc[c, :, 1] = bits_c.view(np.int32)
     return RankIndex(
-        bc=jnp.asarray(bc),
+        bc=jnp.asarray(bc.reshape(n_sym * W, 2)),
         cfreq=jnp.asarray(cfreq.astype(np.int32)),
         n=n,
+        n_words=W,
     )
 
 
@@ -89,7 +93,7 @@ def rank_excl(ri: RankIndex, idx: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     """Vectorized exclusive rank: #c in sym[0..idx-1].  idx int32 >= 0."""
     w = idx >> 5
     r = (idx & 31).astype(jnp.uint32)
-    row = ri.bc[c, w]                       # (..., 2): one fused gather
+    row = ri.bc[c * ri.n_words + w]         # (..., 2): one fused 1D gather
     word = row[..., 1].astype(jnp.uint32)
     mask = jnp.where(r > 0, (jnp.uint32(1) << r) - jnp.uint32(1), jnp.uint32(0))
     partial_cnt = jax.lax.population_count(word & mask).astype(jnp.int32)

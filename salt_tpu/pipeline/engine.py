@@ -66,6 +66,8 @@ class SEOptions:
     k_hits: int = 16
     cap_margin: int = 128
     verify_width: int = 64   # compact unique-candidate width (u)
+    pe_locate: bool = False  # alnse_locate (PE) vs alnse_locate_alt caps
+    gap_k: Optional[int] = None  # gapped threshold; None -> l_seq // 10
 
     def cap(self) -> int:
         c = self.max_locate + self.cap_margin
@@ -163,7 +165,7 @@ class SEAligner:
             self.dix, fwd, rev,
             l_overlap=o.l_overlap, max_seed=o.max_seed,
             max_locate=o.max_locate, cap=o.cap(), u=o.verify_width,
-            k_hits=K,
+            k_hits=K, pe_mode=o.pe_locate,
         )
         packed = np.asarray(_pack_ungapped(out.res, out.needs_gap, out.overflow))
         res = unpack_result(packed, K)
@@ -193,7 +195,7 @@ class SEAligner:
         gap_res = {}
         gap_rows = np.nonzero(needs_gap)[0]
         if len(gap_rows):
-            k = max(L // 10, 0)
+            k = o.gap_k if o.gap_k is not None else max(L // 10, 0)
 
             def run_gap(sel, u):
                 return _pack_gapped(

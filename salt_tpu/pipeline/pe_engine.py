@@ -1,0 +1,362 @@
+"""Paired-end alignment engine.
+
+Per-pair flow mirrors alnpe_core1 (Align_src/alnpe.c:482-521): both ends
+run the SE stack (alnse_overlap flavor: PE locate, gapped threshold
+stays at the ungapped 3 — alnse.c:985-1043), then:
+
+  * both ends mapped      -> pairing2 (primary insert check, hit-list
+                             cross product, SNP-aware SSW rescue)
+  * exactly one mapped    -> pairing_singleton (plain-reference SSW)
+  * none                  -> emit unmapped pair
+
+SAM emission ports alnpe_sam (sam.c:331-457) byte-for-byte, including
+its TLEN quirk (q0.seq_end - q1.seq_start, sam.c:356).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (
+    DEFAULT_MAX_LOCATE,
+    DEFAULT_MAX_SEED,
+    DEFAULT_MAX_TLEN,
+    DEFAULT_MIN_TLEN,
+    PE_MAX_N_AMBIGUOUS,
+    SW_FILTER_DIST,
+    SW_FILTER_SCORE,
+    SW_GAP_EXTEND,
+    SW_GAP_OPEN,
+    UINT32_MAX,
+)
+from ..index.build import SaltIndex
+from ..io.fasta import read_records, trim_readno
+from ..io.sam import emit_pe, sam_header
+from ..ops.lv import NT2BIT_NP, lv_cigar_host
+from ..ops.ssw import SCORE_MAT5, SCORE_MAT16, ssw_align
+from .device_index import to_device_index
+from .engine import SEOptions, SEAligner, encode_reads, gen_mapq, revcomp, set_hits
+
+
+@dataclass
+class PEOptions(SEOptions):
+    min_tlen: int = DEFAULT_MIN_TLEN
+    max_tlen: int = DEFAULT_MAX_TLEN
+    use_sw_singleton: bool = True  # pairing_singleton always runs (alnpe.c:513)
+
+
+class _End:
+    """query_t-like mutable per-end state."""
+
+    __slots__ = (
+        "name", "seq", "rseq", "qual", "l_seq", "pos", "strand", "n_diff",
+        "is_gap", "b0", "b1", "mapq", "cigar", "seq_start", "seq_end",
+        "hits", "first_hit_ndiff", "n_hits", "hits_pos", "hits_ndiff",
+    )
+
+    def __init__(self, name, seq, rseq, qual):
+        self.name = name
+        self.seq = seq
+        self.rseq = rseq
+        self.qual = qual
+        self.l_seq = len(seq)
+        self.pos = UINT32_MAX
+        self.strand = 3
+        self.n_diff = 255
+        self.is_gap = 0
+        self.b0 = -1
+        self.b1 = -1
+        self.mapq = 0
+        self.cigar = ""
+        self.seq_start = 0
+        self.seq_end = self.l_seq - 1
+        self.hits = ([], [])  # per strand: list of (pos, n_diff, is_gap)
+
+
+class PEAligner:
+    def __init__(self, index: SaltIndex, opts: PEOptions = None):
+        self.index = index
+        self.opts = opts or PEOptions()
+        # reuse the SE device machinery with PE locate flavor; the gapped
+        # threshold stays at the ungapped 3 in the PE path (alnse.c:1027)
+        se_opts = SEOptions(**{
+            k: getattr(self.opts, k) for k in SEOptions.__dataclass_fields__
+        })
+        se_opts.pe_locate = True
+        se_opts.gap_k = 3
+        self._se = SEAligner(index, se_opts)
+        self._offsets = np.array([c.offset for c in index.contigs])
+
+    # ---------------- per-end SE stage ----------------
+
+    def _align_ends(self, codes: np.ndarray):
+        """Runs the SE device stack for all ends; returns result dicts."""
+        return self._se._run_batch(codes)
+
+    # ---------------- host pairing ----------------
+
+    def _mixref_window(self, start, end):
+        return self.index.mixref[start : end + 1]
+
+    def _pac_window(self, start, end):
+        return self.index.pac[start : end + 1]
+
+    def _sw_snpaware(self, q: _End, start, end, strand) -> bool:
+        """snpaln_sw_snpaware (alnpe.c:261-327)."""
+        if start >= self.index.l_pac:
+            return False  # reference would exit(1)
+        ref = self._mixref_window(int(start), int(end)).astype(np.int8)
+        seq = q.rseq if strand else q.seq
+        read = NT2BIT_NP[np.minimum(seq, 4)].astype(np.int8)
+        r = ssw_align(read, ref, SCORE_MAT16, SW_GAP_OPEN, SW_GAP_EXTEND,
+                      q.l_seq // 2)
+        if r.score1 >= SW_FILTER_SCORE and r.read_end1 - r.read_begin1 + 1 >= SW_FILTER_DIST:
+            q.b0 = r.score1
+            q.b1 = r.score2
+            q.mapq = gen_mapq(q.b0, q.b1)
+            q.pos = r.ref_begin1 + int(start)
+            q.strand = strand
+            q.seq_start = r.read_begin1
+            q.seq_end = r.read_end1
+            q.cigar = "".join(f"{c}{op}" for c, op in r.cigar)
+            return True
+        return False
+
+    def _sw_plain(self, q: _End, start, end, strand) -> bool:
+        """snpaln_sw (alnpe.c:330-393): plain 2-bit reference, 5x5 matrix."""
+        if start >= self.index.l_pac:
+            return False
+        ref = self._pac_window(int(start), int(end)).astype(np.int8)
+        seq = (q.rseq if strand else q.seq).astype(np.int8)
+        r = ssw_align(seq, ref, SCORE_MAT5, SW_GAP_OPEN, SW_GAP_EXTEND,
+                      q.l_seq // 2)
+        if r.score1 >= SW_FILTER_SCORE and r.read_end1 - r.read_begin1 + 1 >= SW_FILTER_DIST:
+            q.b0 = r.score1
+            q.b1 = r.score2
+            q.mapq = gen_mapq(q.b0, q.b1)
+            q.pos = r.ref_begin1 + int(start)
+            q.strand = strand
+            q.seq_start = r.read_begin1
+            q.seq_end = r.read_end1
+            q.cigar = "".join(f"{c}{op}" for c, op in r.cigar)
+            return True
+        return False
+
+    def _gen_cigar(self, q: _End):
+        """query_gen_cigar (query.c:282-296)."""
+        q.seq_start = 0
+        q.seq_end = q.l_seq - 1
+        if q.pos == UINT32_MAX:
+            return
+        if q.is_gap:
+            seq = q.seq if q.strand == 0 else q.rseq
+            text = self.index.mixref[q.pos : q.pos + q.l_seq + 4]
+            pattern = NT2BIT_NP[np.minimum(seq, 4)]
+            _, q.cigar = lv_cigar_host(text, pattern, int(q.n_diff))
+        else:
+            q.cigar = f"{q.l_seq}M"
+
+    def _pairing2(self, q0: _End, q1: _End) -> bool:
+        o = self.opts
+        l2 = q0.l_seq + q1.l_seq
+        min_isize = o.min_tlen - l2 if o.min_tlen > l2 else 0
+        max_isize = o.max_tlen - l2 if o.max_tlen > l2 else 0
+
+        def in_range(a, b):
+            # CHECK_IN_RANGE (alnpe.c:76-81), uint32 semantics
+            a &= 0xFFFFFFFF
+            b &= 0xFFFFFFFF
+            r = b - a if a < b else a - b
+            if a > b or r < min_isize:
+                return -1
+            if r > max_isize:
+                return 1
+            return 0
+
+        if q0.strand == 0 and q1.strand == 1 and q0.pos < q1.pos:
+            if in_range(q0.pos + q0.l_seq, q1.pos) == 0:
+                self._gen_cigar(q0)
+                self._gen_cigar(q1)
+                return True
+        elif q1.strand == 0 and q0.strand == 1 and q1.pos < q0.pos:
+            if in_range(q1.pos + q1.l_seq, q0.pos) == 0:
+                self._gen_cigar(q0)
+                self._gen_cigar(q1)
+                return True
+
+        min_err = None
+        best = None  # (b0 tuple for q0, b1 tuple for q1)
+        for fwd_q, bwd_q, order in ((q0, q1, 0), (q1, q0, 1)):
+            fl = fwd_q.hits[0]
+            bl = bwd_q.hits[1]
+            if fl and bl:
+                l0 = fwd_q.l_seq
+                for (p0, nd0, g0) in fl:
+                    for (p1, nd1, g1) in bl:
+                        rr = in_range(p0 + l0, p1)
+                        if rr == 0:
+                            tot = nd0 + nd1
+                            if min_err is None or tot < min_err:
+                                min_err = tot
+                                if order == 0:
+                                    best = ((p0, 0, nd0, g0), (p1, 1, nd1, g1))
+                                else:
+                                    best = ((p1, 1, nd1, g1), (p0, 0, nd0, g0))
+                        elif rr == 1:
+                            break
+        if best is not None:
+            for q, b in ((q0, best[0]), (q1, best[1])):
+                q.pos, q.strand, q.n_diff, q.is_gap = b
+            self._gen_cigar(q0)
+            self._gen_cigar(q1)
+            return True
+
+        # singleton SW rescue inside pairing2 (alnpe.c:204-252)
+        l_pac = self.index.l_pac
+        for anchor, other in ((q0, q1), (q1, q0)):
+            if anchor.strand == 0:
+                start = anchor.pos + min_isize + anchor.l_seq
+                end = anchor.pos + max_isize + anchor.l_seq + other.l_seq
+                end = l_pac if end >= l_pac else end
+                if self._sw_snpaware(other, start, end, 1):
+                    self._gen_cigar(anchor)
+                    return True
+            else:
+                start = (anchor.pos - max_isize - other.l_seq
+                         if anchor.pos > max_isize + other.l_seq else 0)
+                end = anchor.pos - min_isize if anchor.pos > min_isize else 0
+                end = l_pac if end >= l_pac else end
+                if self._sw_snpaware(other, start, end, 0):
+                    self._gen_cigar(anchor)
+                    return True
+        if q0.pos != UINT32_MAX:
+            self._gen_cigar(q0)
+        if q1.pos != UINT32_MAX:
+            self._gen_cigar(q1)
+        return False
+
+    def _pairing_singleton(self, q0: _End, q1: _End) -> bool:
+        o = self.opts
+        l2 = q0.l_seq + q1.l_seq
+        min_isize = o.min_tlen - l2 if o.min_tlen > l2 else 0
+        max_isize = o.max_tlen - l2 if o.max_tlen > l2 else 0
+        l_pac = self.index.l_pac
+        if q0.pos == UINT32_MAX and q1.pos == UINT32_MAX:
+            return False
+        for anchor, other in ((q0, q1), (q1, q0)):
+            if anchor.pos == UINT32_MAX:
+                continue
+            if anchor.strand == 0:
+                start = min(anchor.pos + min_isize + anchor.l_seq, l_pac - 1)
+                end = min(anchor.pos + max_isize + anchor.l_seq + other.l_seq,
+                          l_pac - 1)
+                if self._sw_plain(other, start, end, 1):
+                    self._gen_cigar(anchor)
+                    return True
+            else:
+                start = (anchor.pos - max_isize - other.l_seq
+                         if anchor.pos > max_isize + other.l_seq else 0)
+                start = min(start, l_pac - 1)
+                end = anchor.pos - min_isize if anchor.pos > min_isize else 0
+                end = min(end, l_pac - 1)
+                if self._sw_plain(other, start, end, 0):
+                    self._gen_cigar(anchor)
+                    return True
+        if q0.pos != UINT32_MAX:
+            self._gen_cigar(q0)
+        if q1.pos != UINT32_MAX:
+            self._gen_cigar(q1)
+        return False
+
+    # ---------------- driver ----------------
+
+    def align_pairs(self, recs1, recs2) -> List[str]:
+        o = self.opts
+        n = len(recs1)
+        assert len(recs2) == n
+        names = [trim_readno(r.name) for r in recs1 + recs2]
+        seqs = [r.seq for r in recs1] + [r.seq for r in recs2]
+        quals = [r.qual for r in recs1] + [r.qual for r in recs2]
+        codes = encode_reads(seqs)
+        rcodes = revcomp(codes)
+        n_amb = (codes > 3).sum(axis=1)
+
+        # device SE stage for all 2n ends, batched
+        B = o.batch_size
+        ends: List[_End] = []
+        results = {}
+        for start in range(0, 2 * n, B):
+            chunk = codes[start : start + B]
+            nb = len(chunk)
+            if nb < B:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((B - nb, chunk.shape[1]), np.uint8)]
+                )
+            res, needs_gap, gap_res, full_res = self._se._run_batch(chunk)
+            for i in range(nb):
+                gi = start + i
+                if needs_gap[i] and i in gap_res:
+                    results[gi] = (gap_res[i], True)
+                elif i in full_res:
+                    results[gi] = (full_res[i], False)
+                else:
+                    results[gi] = ({k: v[i] for k, v in res.items()}, False)
+
+        out: List[str] = []
+        for pi in range(n):
+            e0 = _End(names[pi], codes[pi], rcodes[pi], quals[pi])
+            e1 = _End(names[n + pi], codes[n + pi], rcodes[n + pi], quals[n + pi])
+            for gi, e in ((pi, e0), (n + pi, e1)):
+                if n_amb[gi] > PE_MAX_N_AMBIGUOUS:
+                    continue  # end stays unmapped (alnpe.c:495)
+                r, is_gap = results[gi]
+                if bool(r["found"]):
+                    e.pos = int(r["pos"])
+                    e.strand = int(r["strand"])
+                    e.n_diff = int(r["n_diff"])
+                    e.is_gap = 1 if is_gap else 0
+                    b1, xa = set_hits(
+                        e.pos, e.n_diff, r["n_hits"], r["first_hit_ndiff"],
+                        r["hits_pos"], r["hits_ndiff"], o.max_hits,
+                    )
+                    e.b0 = e.n_diff
+                    e.b1 = b1
+                    e.mapq = gen_mapq(e.b0, b1)
+                    hits0 = [(p, nd, e.is_gap) for (s, p, nd) in xa if s == 0]
+                    hits1 = [(p, nd, e.is_gap) for (s, p, nd) in xa if s == 1]
+                    e.hits = (hits0, hits1)
+            if e0.pos != UINT32_MAX and e1.pos != UINT32_MAX:
+                self._pairing2(e0, e1)
+            elif e0.pos != UINT32_MAX or e1.pos != UINT32_MAX:
+                self._pairing_singleton(e0, e1)
+            out.extend(
+                emit_pe(self.index, e0, e1, o.min_tlen, o.max_tlen,
+                        o.print_xa_cigar, o.print_nm_md, o.rg_id,
+                        lv_cigar=self._xa_cigar)
+            )
+        return out
+
+    def _xa_cigar(self, pos, strand_seq, k):
+        text = self.index.mixref[pos : pos + len(strand_seq) + 4]
+        pattern = NT2BIT_NP[np.minimum(strand_seq, 4)]
+        return lv_cigar_host(text, pattern, int(k))
+
+    def align_files(self, fq1: str, fq2: str, out_fh, cmd: str = "salt-tpu"):
+        print(sam_header(self.index, cmd, self.opts.rg_id), file=out_fh)
+        b1, b2 = [], []
+        it1, it2 = read_records(fq1), read_records(fq2)
+        for r1, r2 in zip(it1, it2):
+            b1.append(r1)
+            b2.append(r2)
+            if len(b1) >= 50000:
+                for line in self.align_pairs(b1, b2):
+                    print(line, file=out_fh)
+                b1, b2 = [], []
+        if b1:
+            for line in self.align_pairs(b1, b2):
+                print(line, file=out_fh)

@@ -84,20 +84,22 @@ def unpack_result(arr, k_hits: int):
     return out
 
 
-def _seed_and_locate(dix: DeviceIndex, seq, l_overlap, max_seed, max_locate, cap):
+def _seed_and_locate(dix: DeviceIndex, seq, l_overlap, max_seed, max_locate,
+                     cap, pe_mode=False):
     L = seq.shape[-1]
     c_seeds, r_seeds = seed_overlap(
         dix.ri_c, dix.ri_r, dix.lkt, seq, dix.l_seed, l_overlap, max_seed,
         r_lkt_sp=dix.r_lkt_sp, r_lkt_ep=dix.r_lkt_ep,
     )
     lc = locate(
-        c_seeds, r_seeds, dix.csa, dix.r_coord, L, dix.l_pac, max_locate, cap
+        c_seeds, r_seeds, dix.csa, dix.r_coord, L, dix.l_pac, max_locate,
+        cap, pe_mode=pe_mode,
     )
     return sort_loci(lc)
 
 
 @partial(jax.jit, static_argnames=(
-    "l_overlap", "max_seed", "max_locate", "cap", "u", "k_hits"))
+    "l_overlap", "max_seed", "max_locate", "cap", "u", "k_hits", "pe_mode"))
 def se_ungapped(
     dix: DeviceIndex,
     seq_f: jnp.ndarray,     # (B, L) forward codes
@@ -108,9 +110,11 @@ def se_ungapped(
     cap: int,
     u: int = 64,
     k_hits: int = 16,
+    pe_mode: bool = False,
 ) -> UngappedOut:
     def one_strand(seq):
-        lc = _seed_and_locate(dix, seq, l_overlap, max_seed, max_locate, cap)
+        lc = _seed_and_locate(dix, seq, l_overlap, max_seed, max_locate, cap,
+                              pe_mode)
         chk = checked_mask(lc, dix.l_pac)
         pos, keep, ovf = compact_loci(lc, chk, u)
         v = mismatch_counts_packed(
