@@ -42,6 +42,12 @@ def main(argv=None):
     al.add_argument("read1")
     al.add_argument("read2", nargs="?")
 
+    po = sub.add_parser("polish", help="re-score a salt SAM's multi-hits")
+    po.add_argument("-s", "--sw", action="store_true")
+    po.add_argument("-p", "--pe", action="store_true")
+    po.add_argument("index_prefix")
+    po.add_argument("sam")
+
     args = ap.parse_args(argv)
     if args.cmd == "idx":
         from .index.build import build_index
@@ -92,6 +98,14 @@ def main(argv=None):
             al = SEAligner(idx, opts)
             al.align_file(args.read1, sys.stdout,
                           cmd=" ".join(["salt-tpu"] + argv))
+        return 0
+
+    if args.cmd == "polish":
+        from .index.store import load_index
+        from .polish.polish import polish_main
+
+        idx = load_index(args.index_prefix)
+        polish_main(idx, args.sam, paired=args.pe, use_sw=args.sw)
         return 0
 
 

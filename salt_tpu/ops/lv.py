@@ -167,9 +167,15 @@ def lv_distance_host(text: np.ndarray, pattern: np.ndarray, k: int) -> int:
     return -1
 
 
-def lv_cigar_host(text: np.ndarray, pattern: np.ndarray, k: int):
+def lv_cigar_host(text: np.ndarray, pattern: np.ndarray, k: int,
+                  straight_shortcut: bool = False):
     """Reference-exact computeEditDistanceWithCigar (useM=1, compact).
-    Returns (e, cigar_string) or (-1, "")."""
+    Returns (e, cigar_string) or (-1, "").
+
+    straight_shortcut enables the `straightMismatches` fast path that is
+    live in the polish tool's LV (Polish_src/lv.c:279-300) but commented
+    out in the aligner's (Align_src/LandauVishkin.c:296-351): when e
+    equals the no-indel mismatch count, emit plain '<len>M'."""
     tl, pl = len(text), len(pattern)
     endl = min(pl, tl)
     tpad = np.pad(text.astype(np.uint8), (_LPAD, 64))
@@ -199,6 +205,13 @@ def lv_cigar_host(text: np.ndarray, pattern: np.ndarray, k: int):
                 best = _run_match(ppad, tpad[_LPAD + d :], best, endl_d)
             L[(e, d)] = best
             if best == pl:
+                if straight_shortcut:
+                    endl0 = min(pl, tl)
+                    sm = int(
+                        ((ppad[:endl0] & tpad[_LPAD : _LPAD + endl0]) == 0).sum()
+                    ) + (pl - endl0)
+                    if sm == e:
+                        return e, f"{pl}M"
                 # backtrace (LandauVishkin.c:380-460, useM path)
                 bt_action = {}
                 bt_matched = {}
