@@ -1,0 +1,154 @@
+// SA-IS suffix array construction (linear time, induced sorting).
+//
+// Native component of the salt_tpu index builder: replaces the
+// reference's incremental BWT-SW construction (Index_src/bwt_gen.c,
+// 4bit_bwt_gen.c, QSufSort.c) for large genomes.  Loaded from Python via
+// ctypes (salt_tpu/index/suffix.py).  Build: tools/build_native.sh.
+//
+// Exposes:
+//   int salt_sais_u8(const uint8_t* text, int64_t* sa, int64_t n)
+//     writes the suffix array of text[0..n-1] (WITHOUT the implicit
+//     terminal sentinel) into sa[0..n-1]; returns 0 on success.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+using i64 = int64_t;
+
+template <typename T>
+void get_counts(const T* s, i64* cnt, i64 n, i64 k) {
+  std::memset(cnt, 0, sizeof(i64) * k);
+  for (i64 i = 0; i < n; ++i) ++cnt[s[i]];
+}
+
+void get_buckets(const i64* cnt, i64* bkt, i64 k, bool end) {
+  i64 sum = 0;
+  for (i64 i = 0; i < k; ++i) {
+    sum += cnt[i];
+    bkt[i] = end ? sum : sum - cnt[i];
+  }
+}
+
+template <typename T>
+void induce_sa(const T* s, i64* sa, i64* cnt, i64* bkt, i64 n, i64 k,
+               const std::vector<bool>& is_s) {
+  // L-type induction (left to right)
+  get_buckets(cnt, bkt, k, false);
+  // the sentinel's predecessor
+  if (n > 0) {
+    i64 j = n - 1;
+    if (!is_s[j]) sa[bkt[s[j]]++] = j;
+  }
+  for (i64 i = 0; i < n; ++i) {
+    i64 j = sa[i];
+    if (j > 0 && !is_s[j - 1]) sa[bkt[s[j - 1]]++] = j - 1;
+  }
+  // S-type induction (right to left)
+  get_buckets(cnt, bkt, k, true);
+  for (i64 i = n - 1; i >= 0; --i) {
+    i64 j = sa[i];
+    if (j > 0 && is_s[j - 1]) sa[--bkt[s[j - 1]]] = j - 1;
+  }
+}
+
+template <typename T>
+void sais_core(const T* s, i64* sa, i64 n, i64 k) {
+  if (n == 0) return;
+  if (n == 1) {
+    sa[0] = 0;
+    return;
+  }
+  // classify: is_s[i] = suffix i is S-type (sentinel at n is S)
+  std::vector<bool> is_s(n, false);
+  is_s[n - 1] = false;  // last real char: L-type vs sentinel (smaller)
+  // conventional: suffix n (sentinel) is S; s[n-1] > sentinel -> L
+  for (i64 i = n - 2; i >= 0; --i)
+    is_s[i] = (s[i] < s[i + 1]) || (s[i] == s[i + 1] && is_s[i + 1]);
+
+  auto is_lms = [&](i64 i) { return i > 0 && is_s[i] && !is_s[i - 1]; };
+
+  std::vector<i64> cnt(k), bkt(k);
+  get_counts(s, cnt.data(), n, k);
+
+  // step 1: place LMS suffixes at bucket ends (in text order) and induce
+  std::fill(sa, sa + n, -1);
+  get_buckets(cnt.data(), bkt.data(), k, true);
+  for (i64 i = n - 1; i >= 1; --i)
+    if (is_lms(i)) sa[--bkt[s[i]]] = i;
+  induce_sa(s, sa, cnt.data(), bkt.data(), n, k, is_s);
+
+  // step 2: name LMS substrings using their induced order
+  i64 n_lms = 0;
+  for (i64 i = 0; i < n; ++i)
+    if (is_lms(sa[i])) sa[n_lms++] = sa[i];
+  std::fill(sa + n_lms, sa + n, -1);
+  i64 name = 0, prev = -1;
+  for (i64 i = 0; i < n_lms; ++i) {
+    i64 pos = sa[i];
+    bool diff = false;
+    if (prev < 0) {
+      diff = true;
+    } else {
+      for (i64 d = 0;; ++d) {
+        if (pos + d == n || prev + d == n) {
+          // one substring ends at the sentinel
+          diff = !(pos + d == n && prev + d == n);
+          break;
+        }
+        if (s[pos + d] != s[prev + d] || is_s[pos + d] != is_s[prev + d]) {
+          diff = true;
+          break;
+        }
+        if (d > 0 && (is_lms(pos + d) || is_lms(prev + d))) {
+          diff = !(is_lms(pos + d) && is_lms(prev + d));
+          break;
+        }
+      }
+    }
+    if (diff) {
+      ++name;
+      prev = pos;
+    }
+    sa[n_lms + pos / 2] = name - 1;
+  }
+  // compact names in text order
+  std::vector<i64> lms_pos;
+  lms_pos.reserve(n_lms);
+  for (i64 i = 1; i < n; ++i)
+    if (is_lms(i)) lms_pos.push_back(i);
+  std::vector<i64> s1(n_lms);
+  {
+    i64 j = 0;
+    for (i64 i = n_lms; i < n; ++i)
+      if (sa[i] >= 0) s1[j++] = sa[i];
+  }
+
+  // step 3: order LMS suffixes
+  std::vector<i64> sa1(n_lms);
+  if (name < n_lms) {
+    sais_core<i64>(s1.data(), sa1.data(), n_lms, name);
+  } else {
+    for (i64 i = 0; i < n_lms; ++i) sa1[s1[i]] = i;
+  }
+
+  // step 4: final induce from ordered LMS suffixes
+  std::fill(sa, sa + n, -1);
+  get_buckets(cnt.data(), bkt.data(), k, true);
+  for (i64 i = n_lms - 1; i >= 0; --i) {
+    i64 j = lms_pos[sa1[i]];
+    sa[--bkt[s[j]]] = j;
+  }
+  induce_sa(s, sa, cnt.data(), bkt.data(), n, k, is_s);
+}
+
+}  // namespace
+
+extern "C" int salt_sais_u8(const uint8_t* text, i64* sa, i64 n) {
+  if (n < 0) return -1;
+  if (n == 0) return 0;
+  sais_core<uint8_t>(text, sa, n, 256);
+  return 0;
+}
