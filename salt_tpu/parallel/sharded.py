@@ -1,0 +1,228 @@
+"""Index sharding by reference bin (the GRCh38-scale mode of
+SURVEY.md §2.6 / BASELINE.json config 5).
+
+Design: the genome's contigs are partitioned into N shards and a
+complete sub-index (BWT/SA/LKT/mixRef over that bin) is built per shard.
+The shard arrays are padded to a common size, stacked with a leading
+shard axis, and laid out over a device mesh axis `shard` — each device
+holds exactly its own bin's tables in HBM.  A read batch is replicated;
+under `shard_map` every device runs the full seed/locate/verify step
+against its bin, then the per-read best candidates are merged with an
+`argmin` collective over the shard axis (psum-style reduction on the
+encoded (n_diff, shard) key).
+
+Semantics note: the reference has no multi-index mode; per-seed width
+caps (`max_seed`) and per-strand locate caps apply per shard here, so a
+sharded run can differ from a monolithic run exactly where the
+reference's own caps truncate — by design, never in the common case.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map  # jax >= 0.7 name
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..constants import NOGAP_MAX_DIFF
+from ..index.build import SaltIndex, build_index_from_data
+from ..pipeline.device_index import DeviceIndex, to_device_index
+from ..pipeline.se import se_ungapped
+
+
+def partition_contigs(contig_data: Sequence[Tuple[str, str, str]], n_shards: int):
+    """Greedy size-balanced partition of contigs into n_shards bins."""
+    order = sorted(range(len(contig_data)), key=lambda i: -len(contig_data[i][2]))
+    bins: List[List[int]] = [[] for _ in range(n_shards)]
+    sizes = [0] * n_shards
+    for i in order:
+        j = int(np.argmin(sizes))
+        bins[j].append(i)
+        sizes[j] += len(contig_data[i][2])
+    return [sorted(b) for b in bins]
+
+
+def build_sharded_indexes(contig_data, blocks, n_shards, l_seed=19):
+    """One SaltIndex per shard.  SNP blocks are matched to contigs by
+    position in the (global) contig order, as the monolithic build does."""
+    bins = partition_contigs(contig_data, n_shards)
+    shard_indexes = []
+    for b in bins:
+        cd = [contig_data[i] for i in b]
+        bl = [blocks[i] if i < len(blocks) else None for i in b]
+        bl = [x for x in bl if x is not None]
+        shard_indexes.append(build_index_from_data(cd, bl, l_seed=l_seed))
+    return shard_indexes, bins
+
+
+def _pad_to(arr: np.ndarray, n: int):
+    out = np.zeros((n,) + arr.shape[1:], dtype=arr.dtype)
+    out[: len(arr)] = arr
+    return out
+
+
+@dataclass
+class StackedIndex:
+    """Shard-stacked DeviceIndex arrays (leading axis = shard)."""
+
+    tree: DeviceIndex        # every array has a leading shard axis
+    base_offsets: np.ndarray  # global genome offset of each shard's bin
+
+
+def stack_indexes(shard_indexes: List[SaltIndex], bins, contig_data) -> StackedIndex:
+    dixes = [to_device_index(ix) for ix in shard_indexes]
+    # global offset of each shard's first contig, for coordinate lifting
+    glob_off = np.cumsum([0] + [len(c[2]) for c in contig_data])[:-1]
+    base = np.array(
+        [glob_off[b[0]] if b else 0 for b in bins], dtype=np.uint32
+    )
+
+    def stack(getter):
+        arrs = [np.asarray(getter(d)) for d in dixes]
+        n = max(a.shape[0] for a in arrs)
+        return jnp.asarray(np.stack([_pad_to(a, n) for a in arrs]))
+
+    t0 = dixes[0]
+    from ..ops.rank import RankIndex
+
+    def stack_rank(g):
+        rs = [g(d) for d in dixes]
+        bc = [np.asarray(r.bc) for r in rs]
+        W = max(r.n_words for r in rs)
+        bc_resh = []
+        for r, b in zip(rs, bc):
+            b2 = b.reshape(-1, r.n_words, 2)
+            b2 = np.concatenate(
+                [b2, np.repeat(b2[:, -1:, :], W - r.n_words, axis=1)], axis=1
+            ) if r.n_words < W else b2
+            bc_resh.append(b2.reshape(-1, 2))
+        n = max(x.shape[0] for x in bc_resh)
+        stacked = jnp.asarray(np.stack([_pad_to(x, n) for x in bc_resh]))
+        cfreq = jnp.asarray(np.stack([np.asarray(r.cfreq) for r in rs]))
+        ns = max(r.n for r in rs)
+        return stacked, cfreq, ns, W
+
+    cbc, ccf, cn, cW = stack_rank(lambda d: d.ri_c)
+    rbc, rcf, rn, rW = stack_rank(lambda d: d.ri_r)
+    tree = DeviceIndex(
+        ri_c=RankIndex(bc=cbc, cfreq=ccf, n=cn, n_words=cW),
+        ri_r=RankIndex(bc=rbc, cfreq=rcf, n=rn, n_words=rW),
+        lkt=stack(lambda d: d.lkt),
+        r_lkt_sp=stack(lambda d: d.r_lkt_sp),
+        r_lkt_ep=stack(lambda d: d.r_lkt_ep),
+        csa=stack(lambda d: d.csa),
+        r_coord=stack(lambda d: d.r_coord),
+        mixref=stack(lambda d: d.mixref),
+        mixref_words=stack(lambda d: d.mixref_words),
+        l_pac=max(d.l_pac for d in dixes),
+        l_seed=dixes[0].l_seed,
+    )
+    return StackedIndex(tree=tree, base_offsets=base)
+
+
+def _per_shard_n(shard_indexes):
+    return [ix.l_pac for ix in shard_indexes]
+
+
+def sharded_se_step(
+    mesh: Mesh,
+    stacked: StackedIndex,
+    shard_l_pac: jnp.ndarray,   # int32 (n_shards,) true l_pac per shard
+    seq_f: jnp.ndarray,         # (B, L) replicated
+    seq_r: jnp.ndarray,
+    *,
+    l_overlap: int,
+    max_seed: int,
+    max_locate: int,
+    cap: int,
+    u: int = 64,
+    k_hits: int = 16,
+):
+    """Runs the ungapped SE step on every shard and argmin-merges the
+    per-read primaries over the `shard` mesh axis.
+
+    Returns (found, global_pos (uint32), strand, n_diff, shard_id) per
+    read — coordinates lifted into the global genome via base_offsets.
+
+    NOTE: the stacked tables are padded to the largest shard, so each
+    shard's step masks candidates beyond its true l_pac.
+    """
+    n_shards = mesh.devices.size
+    base = jnp.asarray(stacked.base_offsets)
+
+    shard_spec = P("shard")
+    rep = P()
+
+    def step(tree, base_off, l_pac_true, sf, sr):
+        # tree/base_off/l_pac arrive with the leading shard axis sliced off
+        tree = jax.tree_util.tree_map(lambda a: a[0], tree)
+        base_off = base_off[0]
+        l_pac_true = l_pac_true[0]
+        out = se_ungapped(
+            tree, sf, sr,
+            l_overlap=l_overlap, max_seed=max_seed, max_locate=max_locate,
+            cap=cap, u=u, k_hits=k_hits,
+        )
+        res = out.res
+        # mask candidates that fall into the padded tail
+        ok = res.found & (res.pos < l_pac_true.astype(jnp.uint32))
+        nd = jnp.where(ok, res.n_diff, 255)
+        my = jax.lax.axis_index("shard").astype(jnp.int32)
+        # encode (n_diff, shard) so the all-shard min picks the lowest
+        # n_diff, ties to the lowest shard id
+        key = nd * 1024 + my
+        best_key = jax.lax.pmin(key, axis_name="shard")
+        win = best_key == key  # unique winner: key embeds the shard id
+        gpos = jnp.where(ok, res.pos + base_off, jnp.uint32(0xFFFFFFFF))
+        # winner broadcast: psum of the winner's value (losers contribute 0)
+        pos_sel = jax.lax.psum(
+            jnp.where(win, gpos, jnp.uint32(0)).astype(jnp.int32),
+            axis_name="shard",
+        )  # int32 bit-pattern of the winning uint32 position
+        strand_sel = jax.lax.psum(
+            jnp.where(win, res.strand, 0), axis_name="shard"
+        )
+        nd_best = best_key // 1024
+        found_any = nd_best < 255
+        shard_sel = best_key % 1024
+        return (
+            found_any[None], pos_sel[None], strand_sel[None], nd_best[None],
+            shard_sel[None],
+        )
+
+    fn = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            jax.tree_util.tree_map(lambda _: shard_spec, stacked.tree),
+            shard_spec, shard_spec, rep, rep,
+        ),
+        out_specs=(shard_spec,) * 5,
+        check_vma=False,
+    )
+    tree_sharded = jax.tree_util.tree_map(
+        lambda a: jax.device_put(
+            a, NamedSharding(mesh, P(*(["shard"] + [None] * (a.ndim - 1))))
+        ),
+        stacked.tree,
+    )
+    base_s = jax.device_put(base, NamedSharding(mesh, P("shard")))
+    lpac_s = jax.device_put(shard_l_pac, NamedSharding(mesh, P("shard")))
+    seqf_r = jax.device_put(seq_f, NamedSharding(mesh, P()))
+    seqr_r = jax.device_put(seq_r, NamedSharding(mesh, P()))
+    found, pos, strand, nd, shard = fn(tree_sharded, base_s, lpac_s, seqf_r, seqr_r)
+    # every shard now holds the merged result; take shard 0's copy
+    pos_u32 = np.asarray(pos)[0].view(np.uint32).astype(np.int64)
+    return (
+        np.asarray(found)[0], pos_u32,
+        np.asarray(strand)[0], np.asarray(nd)[0], np.asarray(shard)[0],
+    )
