@@ -48,7 +48,26 @@ def main(argv=None):
     po.add_argument("index_prefix")
     po.add_argument("sam")
 
+    et = sub.add_parser(
+        "snp-etl", help="variant-format converters (dbSNP/VCF -> hapmap)",
+        add_help=False,
+    )
+    et.add_argument("rest", nargs=argparse.REMAINDER)
+
+    ev = sub.add_parser(
+        "alneval", help="wgsim accuracy evaluation of a SAM", add_help=False
+    )
+    ev.add_argument("rest", nargs=argparse.REMAINDER)
+
     args = ap.parse_args(argv)
+    if args.cmd == "snp-etl":
+        from .etl.snp_etl import _main as etl_main
+
+        return etl_main(args.rest)
+    if args.cmd == "alneval":
+        from .eval.wgsim_eval import _main as eval_main
+
+        return eval_main(args.rest)
     if args.cmd == "idx":
         from .index.build import build_index
         from .index.store import save_index

@@ -121,8 +121,7 @@ def build_lookup_table(pac: np.ndarray, k: int = MAX_LOOKUP_LEN) -> np.ndarray:
 
     win = sliding_window_view(x, k)
     kmers = win @ powers  # shape (l_ref - k + 1,)
-    counts = np.zeros(n_item, dtype=np.uint32)
-    np.add.at(counts, kmers + 1, 1)
+    counts = np.bincount(kmers + 1, minlength=n_item).astype(np.uint32)
     # tail: continue shifting in zeros k times from the last full window
     mask = n_item - 2
     it = int(kmers[-1])
@@ -253,13 +252,25 @@ def build_r_lkt(r_codes: np.ndarray, rsa: np.ndarray, k: int = MAX_LOOKUP_LEN):
     from numpy.lib.stride_tricks import sliding_window_view
 
     pw = 6 ** np.arange(k - 1, -1, -1)
-    keys_by_pos = sliding_window_view(ext, k) @ pw      # (T+1,)
+    # 6^12 < 2^32: the whole key space fits uint32
+    keys_by_pos = (sliding_window_view(ext, k) @ pw).astype(np.uint32)
     keys_rank = keys_by_pos[rsa]                        # ascending
-    ms = np.arange(4 ** k, dtype=np.int64)
-    kq = np.zeros_like(ms)
-    for j in range(k):
-        c = (ms >> (2 * (k - 1 - j))) & 3
-        kq = kq * 6 + (c + 1)
+
+    # query keys for all 4^k k-mers, digitwise base-4 -> base-6(+1).
+    # Built from two half-size tables with one broadcasted add: the naive
+    # k-pass digit loop over 4^k entries is first-touch/bandwidth bound.
+    def _half(n: int) -> np.ndarray:
+        ms = np.arange(4 ** n, dtype=np.uint32)
+        kq = np.zeros_like(ms)
+        for j in range(n):
+            c = (ms >> np.uint32(2 * (n - 1 - j))) & np.uint32(3)
+            kq = kq * np.uint32(6) + c + np.uint32(1)
+        return kq
+
+    kh, kl = k // 2, k - (k // 2)
+    hi = _half(kh) * np.uint32(6 ** kl)
+    lo = _half(kl)
+    kq = (hi[:, None] + lo[None, :]).ravel()
     sp = np.searchsorted(keys_rank, kq, side="left").astype(np.uint32)
     ep = (np.searchsorted(keys_rank, kq, side="right") - 1).astype(np.uint32)
     return sp, ep

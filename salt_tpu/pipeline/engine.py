@@ -33,6 +33,7 @@ from ..constants import (
     UINT32_MAX,
 )
 from ..index.build import SaltIndex
+from ..utils.metrics import device_trace, progress, stage
 from ..io.fasta import read_records, trim_readno
 from ..io.sam import build_xa, emit_se, sam_header
 from ..ops.lv import NT2BIT_NP, lv_cigar_host
@@ -161,13 +162,17 @@ class SEAligner:
         K = o.k_hits
         fwd = jnp.asarray(codes.astype(np.int32))
         rev = jnp.asarray(revcomp(codes).astype(np.int32))
-        out = se_ungapped(
-            self.dix, fwd, rev,
-            l_overlap=o.l_overlap, max_seed=o.max_seed,
-            max_locate=o.max_locate, cap=o.cap(), u=o.verify_width,
-            k_hits=K, pe_mode=o.pe_locate,
-        )
-        packed = np.asarray(_pack_ungapped(out.res, out.needs_gap, out.overflow))
+        with stage("device.ungapped"):
+            out = se_ungapped(
+                self.dix, fwd, rev,
+                l_overlap=o.l_overlap, max_seed=o.max_seed,
+                max_locate=o.max_locate, cap=o.cap(), u=o.verify_width,
+                k_hits=K, pe_mode=o.pe_locate,
+            )
+        with stage("device.ungapped"):
+            packed = np.asarray(
+                _pack_ungapped(out.res, out.needs_gap, out.overflow)
+            )
         res = unpack_result(packed, K)
         needs_gap = res["n_extra"][:, 0].astype(bool)
         overflow = res["n_extra"][:, 1].astype(bool)
@@ -207,9 +212,11 @@ class SEAligner:
                     )
                 )
 
-            gp = self._subbatch_packed(
-                lambda sel: run_gap(sel, o.verify_width), gap_rows, o.gap_batch
-            )
+            with stage("device.gapped"):
+                gp = self._subbatch_packed(
+                    lambda sel: run_gap(sel, o.verify_width), gap_rows,
+                    o.gap_batch,
+                )
             gr = unpack_result(gp, K)
             for i, r in enumerate(gap_rows):
                 gap_res[int(r)] = {kk: v[i] for kk, v in gr.items()}
@@ -286,7 +293,10 @@ class SEAligner:
                 chunk = np.concatenate(
                     [chunk, np.zeros((B - nb, chunk.shape[1]), dtype=np.uint8)]
                 )
-            res, needs_gap, gap_res, full_res = self._run_batch(chunk)
+            with device_trace("se_batch"):
+                res, needs_gap, gap_res, full_res = self._run_batch(chunk)
+            _fin = stage("host.finalize")
+            _fin.__enter__()
             for i in range(nb):
                 gi = start + i
                 if n_amb[gi] > SE_MAX_N_AMBIGUOUS:
@@ -307,17 +317,23 @@ class SEAligner:
                     int(r["n_diff"]), is_gap, r["n_hits"],
                     r["first_hit_ndiff"], r["hits_pos"], r["hits_ndiff"],
                 )
+            _fin.__exit__(None, None, None)
         return out_records
 
     def align_file(self, fastq_path: str, out_fh, cmd: str = "salt-tpu"):
         print(sam_header(self.index, cmd, self.opts.rg_id), file=out_fh)
         batch = []
+        n_done = 0
         for rec in read_records(fastq_path):
             batch.append(rec)
             if len(batch) >= 100000:
                 for line in self.align_records(batch):
                     print(line, file=out_fh)
+                n_done += len(batch)
+                progress(n_done)
                 batch = []
         if batch:
             for line in self.align_records(batch):
                 print(line, file=out_fh)
+            n_done += len(batch)
+            progress(n_done)

@@ -82,3 +82,17 @@ EOF
 ./dump_rsa midx.R dump.txt
 fi
 echo "oracle fixtures ready"
+
+# ---- shared-library oracles for kernel fuzz tests ----
+cd $ORACLE
+[ -f liblvref.so ] || gcc -O2 -shared -fPIC -o liblvref.so $REF/Align_src/LandauVishkin.c
+[ -f libsswref.so ] || gcc -O2 -msse2 -shared -fPIC -o libsswref.so $REF/Align_src/ssw.c
+
+# ---- polish oracle: re-score a headered subset of the SE SAM ----
+if [ ! -f polish_se_oracle.txt ]; then
+  # pipefail-safe subset (a head-terminated pipe would SIGPIPE the grep)
+  awk '/^@/{print; next} n<2000{print; n++}' se_oracle.sam > se_sub_h.sam
+  $BUILD/Bin/polish idx se_sub_h.sam > polish_se_oracle.txt 2> polish_se.log
+  $BUILD/Bin/polish -p idx se_sub_h.sam > polish_pe_oracle.txt 2> polish_pe.log
+fi
+echo "[make_oracle] all fixtures present"
