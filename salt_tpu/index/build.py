@@ -272,7 +272,15 @@ def build_r_lkt(r_codes: np.ndarray, rsa: np.ndarray, k: int = MAX_LOOKUP_LEN):
     lo = _half(kl)
     kq = (hi[:, None] + lo[None, :]).ravel()
     sp = np.searchsorted(keys_rank, kq, side="left").astype(np.uint32)
-    ep = (np.searchsorted(keys_rank, kq, side="right") - 1).astype(np.uint32)
+    # ep = sp + multiplicity - 1: a right-searchsorted is redundant since
+    # the number of keys equal to kq(m) is the number of text positions
+    # whose first k chars are exactly that ACGT k-mer
+    wins = sliding_window_view(r_codes, k) if T >= k else np.zeros((0, k), r_codes.dtype)
+    pure = (wins < 4).all(axis=1)
+    pw4 = (4 ** np.arange(k - 1, -1, -1)).astype(np.int64)
+    kmers4 = wins[pure].astype(np.int64) @ pw4
+    mult = np.bincount(kmers4, minlength=4 ** k).astype(np.uint32)
+    ep = sp + mult - np.uint32(1)
     return sp, ep
 
 

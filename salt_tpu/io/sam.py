@@ -41,6 +41,19 @@ def sam_header(index: SaltIndex, cmd: str, rg_id: Optional[str]) -> str:
     return "\n".join(out)
 
 
+_OFFSETS_CACHE: dict = {}
+
+
+def contig_offsets(index) -> np.ndarray:
+    """Per-index cached contig offset array (avoids a per-record alloc)."""
+    key = id(index)
+    arr = _OFFSETS_CACHE.get(key)
+    if arr is None:
+        arr = np.array([c.offset for c in index.contigs])
+        _OFFSETS_CACHE[key] = arr
+    return arr
+
+
 def coor_pac2real(offsets: np.ndarray, n_seqs: int, pos: int) -> int:
     """bns_coor_pac2real binary search (Align_src/bntseq.c:269-280)."""
     left, mid, right = 0, 0, n_seqs
@@ -57,8 +70,13 @@ def coor_pac2real(offsets: np.ndarray, n_seqs: int, pos: int) -> int:
     return mid
 
 
+_BASE_LUT = np.frombuffer(b"ACGTN", dtype=np.uint8)
+
+
 def seq_to_str(codes: np.ndarray) -> str:
-    return "".join(BASES[min(c, 4)] for c in codes)
+    return (
+        _BASE_LUT[np.minimum(codes, 4)].tobytes().decode("latin1")
+    )
 
 
 def emit_se(
@@ -82,7 +100,7 @@ def emit_se(
         s = [name, "4", "*\t0\t0\t*\t*\t0\t0", seq_to_str(seq)]
         s.append(qual if qual else "*")
         return "\t".join(s)
-    offsets = np.array([c.offset for c in index.contigs])
+    offsets = contig_offsets(index)
     rid = coor_pac2real(offsets, len(index.contigs), pos)
     flag = SAM_REVERSE if strand else 0
     out = [
@@ -120,7 +138,7 @@ def build_xa(
     lists in strand-0-then-1 order; entries at primary_pos are skipped."""
     if not hits:
         return ""
-    offsets = np.array([c.offset for c in index.contigs])
+    offsets = contig_offsets(index)
     parts = []
     for strand, pos, n_diff, cig in hits:
         if pos == primary_pos:
@@ -144,7 +162,7 @@ def emit_pe(index, q0, q1, min_tlen, max_tlen, print_xa_cigar, print_nm_md,
     producing a blank line after every record — reproduced by the
     caller printing these strings with a newline)."""
     q = (q0, q1)
-    offsets = np.array([c.offset for c in index.contigs])
+    offsets = contig_offsets(index)
     rid = [-1, -1]
     pos = [0, 0]
     is_map = [False, False]
@@ -251,6 +269,34 @@ def md_nm_tag(
     ref_pos = pos
     s = rseq if strand else seq
     si = seq_start
+
+    # fast path: pure-match cigar (the overwhelmingly common case) —
+    # vectorized mismatch scan instead of the per-base replay below
+    if cigar == f"{len(s) - seq_start}M":
+        n = len(s) - seq_start
+        ref = pac[ref_pos : ref_pos + n].astype(np.int16)
+        rd = np.asarray(s[si : si + n], dtype=np.int16)
+        mm = np.nonzero(ref != rd)[0]
+        nm = len(mm)
+        if nm == 0:
+            return f"\tMD:Z:{n}\tNM:i:0"
+        md = []
+        prev = -1
+        for j in mm:
+            gap = j - prev - 1
+            if gap:
+                md.append(str(gap))
+            md.append(BASES[min(int(ref[j]), 4)])
+            prev = j
+        tail = n - 1 - prev
+        if tail:
+            md.append(str(tail))
+        snp_ok = (mix[ref_pos + mm].astype(np.int64) >> rd[mm]) & 1
+        rs = mm[snp_ok != 0][:64]
+        tag = f"\tMD:Z:{''.join(md)}\tNM:i:{nm}"
+        if len(rs):
+            tag += "\tXV:i:" + ",".join(str(int(x)) for x in rs)
+        return tag
     nm = 0
     n_match = 0
     md = []
