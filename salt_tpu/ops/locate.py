@@ -28,11 +28,16 @@ class Loci(NamedTuple):
     pushed: jnp.ndarray   # bool   (B, CAP) slot holds a pushed locus
 
 
+class LocateOut(NamedTuple):
+    loci: "Loci"
+    overflow: jnp.ndarray  # bool (B,) candidate stream exceeded CAP slots
+
+
 def locate(
     c_seeds: Seeds,
     r_seeds: Seeds,
-    csa: jnp.ndarray,       # uint32 [Lc+1]
-    r_coord: jnp.ndarray,   # uint32 [Tr+1]
+    sa_cat: jnp.ndarray,    # uint32 [c_sa_len + Tr+1]: csa ++ r_coord
+    c_sa_len: int,
     l_seq,                  # int32 () or scalar: read length
     l_mref: int,
     max_locate: int,
@@ -129,9 +134,9 @@ def locate(
     slot_is_r = (rows[..., 3] & 1).astype(bool)
     offset = rows[..., 1]
 
-    sa_c = csa[jnp.clip(rank, 0, csa.shape[0] - 1)]
-    sa_r = r_coord[jnp.clip(rank, 0, r_coord.shape[0] - 1)]
-    sa_val = jnp.where(slot_is_r, sa_r, sa_c)
+    rank_c = jnp.clip(rank, 0, c_sa_len - 1)
+    rank_r = jnp.clip(rank, 0, sa_cat.shape[0] - c_sa_len - 1) + c_sa_len
+    sa_val = sa_cat[jnp.where(slot_is_r, rank_r, rank_c)]
     pos = (sa_val.astype(jnp.uint32) - offset.astype(jnp.uint32))
 
     end_u = pos + jnp.uint32(l_seq)  # uint32 wraparound, as in C
@@ -142,7 +147,12 @@ def locate(
     n_before = jnp.cumsum(valid_push.astype(jnp.int32), axis=-1)
     push_cap = MAX_LOC_POS if pe_mode else max_locate
     pushed = valid_push & (n_before <= push_cap)
-    return Loci(pos=pos, pushed=pushed)
+    # overflow: the candidate stream exceeded CAP slots AND the push cap
+    # was not yet reached — only then could unmaterialized candidates
+    # have produced additional pushes (pushes stop at push_cap anyway,
+    # alnse.c:678, so a read that filled its cap is already exact).
+    overflow = (total > cap) & (n_before[:, -1] < push_cap)
+    return LocateOut(loci=Loci(pos=pos, pushed=pushed), overflow=overflow)
 
 
 def sort_loci(loci: Loci) -> Loci:

@@ -78,6 +78,19 @@ class StackedIndex:
     base_offsets: np.ndarray  # global genome offset of each shard's bin
 
 
+def _stack_sa_cat(dixes):
+    """Stack per-shard fused SA tables: each shard's csa part is padded
+    to the max c_sa_len so the R offset is a single static constant."""
+    cl = max(d.c_sa_len for d in dixes)
+    parts = []
+    for d in dixes:
+        a = np.asarray(d.sa_cat)
+        c = _pad_to(a[: d.c_sa_len], cl)
+        parts.append(np.concatenate([c, a[d.c_sa_len :]]))
+    n = max(p.shape[0] for p in parts)
+    return jnp.asarray(np.stack([_pad_to(p, n) for p in parts]))
+
+
 def stack_indexes(shard_indexes: List[SaltIndex], bins, contig_data) -> StackedIndex:
     dixes = [to_device_index(ix) for ix in shard_indexes]
     # global offset of each shard's first contig, for coordinate lifting
@@ -119,12 +132,12 @@ def stack_indexes(shard_indexes: List[SaltIndex], bins, contig_data) -> StackedI
         lkt=stack(lambda d: d.lkt),
         r_lkt_sp=stack(lambda d: d.r_lkt_sp),
         r_lkt_ep=stack(lambda d: d.r_lkt_ep),
-        csa=stack(lambda d: d.csa),
-        r_coord=stack(lambda d: d.r_coord),
+        sa_cat=_stack_sa_cat(dixes),
         mixref=stack(lambda d: d.mixref),
         mixref_words=stack(lambda d: d.mixref_words),
         l_pac=max(d.l_pac for d in dixes),
         l_seed=dixes[0].l_seed,
+        c_sa_len=max(d.c_sa_len for d in dixes),
     )
     return StackedIndex(tree=tree, base_offsets=base)
 

@@ -21,30 +21,32 @@ class DeviceIndex:
     lkt: jnp.ndarray      # uint32 [4^12+1]
     r_lkt_sp: jnp.ndarray # uint32 [4^12] exact R 12-mer intervals
     r_lkt_ep: jnp.ndarray
-    csa: jnp.ndarray      # uint32 [L+1]
-    r_coord: jnp.ndarray  # uint32 [T+1]
+    sa_cat: jnp.ndarray   # uint32 [c_sa_len + T+1]: csa then r_coord,
+                          # fused so locate is ONE gather per slot
     mixref: jnp.ndarray   # uint8  [L]
     mixref_words: jnp.ndarray  # uint32 [ceil(L/8)+2] little-endian nibbles
     l_pac: int
     l_seed: int
+    c_sa_len: int         # length of the csa part within sa_cat
 
     def tree_flatten(self):
         return (
             (
                 self.ri_c, self.ri_r, self.lkt, self.r_lkt_sp, self.r_lkt_ep,
-                self.csa, self.r_coord, self.mixref, self.mixref_words,
+                self.sa_cat, self.mixref, self.mixref_words,
             ),
-            (self.l_pac, self.l_seed),
+            (self.l_pac, self.l_seed, self.c_sa_len),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        (ri_c, ri_r, lkt, r_lkt_sp, r_lkt_ep, csa, r_coord, mixref,
+        (ri_c, ri_r, lkt, r_lkt_sp, r_lkt_ep, sa_cat, mixref,
          mixref_words) = children
         return cls(
             ri_c=ri_c, ri_r=ri_r, lkt=lkt, r_lkt_sp=r_lkt_sp,
-            r_lkt_ep=r_lkt_ep, csa=csa, r_coord=r_coord, mixref=mixref,
+            r_lkt_ep=r_lkt_ep, sa_cat=sa_cat, mixref=mixref,
             mixref_words=mixref_words, l_pac=aux[0], l_seed=aux[1],
+            c_sa_len=aux[2],
         )
 
 
@@ -72,10 +74,10 @@ def to_device_index(idx: SaltIndex) -> DeviceIndex:
         lkt=jnp.asarray(idx.lkt),
         r_lkt_sp=jnp.asarray(idx.r_lkt_sp),
         r_lkt_ep=jnp.asarray(idx.r_lkt_ep),
-        csa=jnp.asarray(idx.csa),
-        r_coord=jnp.asarray(idx.r_coord),
+        sa_cat=jnp.asarray(np.concatenate([idx.csa, idx.r_coord])),
         mixref=jnp.asarray(idx.mixref),
         mixref_words=jnp.asarray(pack_nibbles(idx.mixref)),
         l_pac=idx.l_pac,
         l_seed=idx.l_seed,
+        c_sa_len=len(idx.csa),
     )

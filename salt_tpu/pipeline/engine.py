@@ -42,7 +42,6 @@ from .se import (
     pack_result,
     se_gapped,
     se_ungapped,
-    se_ungapped_full,
     unpack_result,
 )
 
@@ -67,12 +66,24 @@ class SEOptions:
     k_hits: int = 16
     cap_margin: int = 128
     verify_width: int = 64   # compact unique-candidate width (u)
+    fast_cap: int = 0        # >0: locate slots in the fast pass; reads
+                             # whose candidate stream exceeds it re-run at
+                             # full_cap.  0 (default): single-tier — with
+                             # stride-1 overlap seeding each locus appears
+                             # in ~2*l_seed seed streams, so small caps
+                             # overflow on most reads and the re-runs cost
+                             # more than the narrow fast pass saves
     pe_locate: bool = False  # alnse_locate (PE) vs alnse_locate_alt caps
     gap_k: Optional[int] = None  # gapped threshold; None -> l_seq // 10
 
-    def cap(self) -> int:
+    def full_cap(self) -> int:
         c = self.max_locate + self.cap_margin
         return ((c + 63) // 64) * 64
+
+    def cap(self) -> int:
+        if self.fast_cap <= 0:
+            return self.full_cap()
+        return min(self.full_cap(), ((self.fast_cap + 63) // 64) * 64)
 
 
 def encode_reads(seqs: List[str]) -> np.ndarray:
@@ -154,53 +165,75 @@ class SEAligner:
             parts.append(sub[: len(rr)])
         return np.concatenate(parts, axis=0)
 
-    def _run_batch(self, codes: np.ndarray):
-        """codes: (B, L) uint8.  Returns per-read numpy result dicts:
-        (ungapped, needs_gap mask, gapped dict row->result, full dict)."""
+    def _dispatch_batch(self, codes: np.ndarray):
+        """Launch the ungapped step for one padded batch; returns an
+        opaque handle.  JAX dispatch is async, so the device starts
+        immediately while the host moves on (pipelining)."""
         o = self.opts
-        B, L = codes.shape
-        K = o.k_hits
-        fwd = jnp.asarray(codes.astype(np.int32))
-        rev = jnp.asarray(revcomp(codes).astype(np.int32))
-        with stage("device.ungapped"):
+        with stage("device.dispatch"):
+            fwd = jnp.asarray(codes.astype(np.int32))
+            rev = jnp.asarray(revcomp(codes).astype(np.int32))
             out = se_ungapped(
                 self.dix, fwd, rev,
                 l_overlap=o.l_overlap, max_seed=o.max_seed,
                 max_locate=o.max_locate, cap=o.cap(), u=o.verify_width,
-                k_hits=K, pe_mode=o.pe_locate,
+                k_hits=o.k_hits, pe_mode=o.pe_locate,
             )
+            packed_dev = _pack_ungapped(out.res, out.needs_gap, out.overflow)
+        return fwd, rev, out, packed_dev
+
+    def _run_batch(self, codes: np.ndarray):
+        """codes: (B, L) uint8.  Returns per-read numpy result dicts:
+        (ungapped, needs_gap mask, gapped dict row->result, full dict)."""
+        return self._complete_batch(self._dispatch_batch(codes))
+
+    def _complete_batch(self, handle):
+        o = self.opts
+        K = o.k_hits
+        fwd, rev, out, packed_dev = handle
+        L = fwd.shape[1]
         with stage("device.ungapped"):
-            packed = np.asarray(
-                _pack_ungapped(out.res, out.needs_gap, out.overflow)
-            )
+            packed = np.asarray(packed_dev)
         res = unpack_result(packed, K)
         needs_gap = res["n_extra"][:, 0].astype(bool)
         overflow = res["n_extra"][:, 1].astype(bool)
         take = jax.tree_util.tree_map
 
+        # rows whose locate/verify hit the fast-path width: re-run the
+        # whole ungapped step at full cap + full verify width (rare)
         full_res = {}
+        full_loci = {}   # row -> (loci0_row, loci1_row) at FULL cap
         ovf_rows = np.nonzero(overflow)[0]
         if len(ovf_rows):
-            fp = self._subbatch_packed(
-                lambda sel: _pack_plain(
-                    se_ungapped_full(
-                        self.dix, fwd[sel], rev[sel],
-                        take(lambda a: a[sel], out.loci0),
-                        take(lambda a: a[sel], out.loci1),
-                        max_locate=o.max_locate, cap=o.cap(), k_hits=K,
+            sub = o.gap_batch
+            with stage("device.ungapped_full"):
+                for s0 in range(0, len(ovf_rows), sub):
+                    rr = ovf_rows[s0 : s0 + sub]
+                    sel = np.concatenate(
+                        [rr, np.zeros(sub - len(rr), dtype=rr.dtype)]
                     )
-                ),
-                ovf_rows, o.gap_batch,
-            )
-            fr = unpack_result(fp, K)
-            for i, r in enumerate(ovf_rows):
-                full_res[int(r)] = {k: v[i] for k, v in fr.items()}
-                needs_gap[r] = not bool(fr["found"][i])
+                    out_f = se_ungapped(
+                        self.dix, fwd[jnp.asarray(sel)], rev[jnp.asarray(sel)],
+                        l_overlap=o.l_overlap, max_seed=o.max_seed,
+                        max_locate=o.max_locate, cap=o.full_cap(),
+                        u=o.full_cap(), k_hits=K, pe_mode=o.pe_locate,
+                    )
+                    fp = np.asarray(_pack_ungapped(
+                        out_f.res, out_f.needs_gap, out_f.overflow))
+                    l0 = jax.tree_util.tree_map(np.asarray, out_f.loci0)
+                    l1 = jax.tree_util.tree_map(np.asarray, out_f.loci1)
+                    fr = unpack_result(fp[: len(rr)], K)
+                    for i, r in enumerate(rr):
+                        full_res[int(r)] = {k: v[i] for k, v in fr.items()}
+                        full_loci[int(r)] = (
+                            (l0.pos[i], l0.pushed[i]), (l1.pos[i], l1.pushed[i])
+                        )
+                        needs_gap[r] = not bool(fr["found"][i])
 
         gap_res = {}
         gap_rows = np.nonzero(needs_gap)[0]
         if len(gap_rows):
-            k = o.gap_k if o.gap_k is not None else max(L // 10, 0)
+            k = o.gap_k if o.gap_k is not None else max(int(L) // 10, 0)
 
             def run_gap(sel, u):
                 return _pack_gapped(
@@ -212,23 +245,53 @@ class SEAligner:
                     )
                 )
 
-            with stage("device.gapped"):
-                gp = self._subbatch_packed(
-                    lambda sel: run_gap(sel, o.verify_width), gap_rows,
-                    o.gap_batch,
-                )
-            gr = unpack_result(gp, K)
-            for i, r in enumerate(gap_rows):
-                gap_res[int(r)] = {kk: v[i] for kk, v in gr.items()}
-            govf = [r for i, r in enumerate(gap_rows)
-                    if bool(gr["n_extra"][i, 0])]
-            if govf:
-                gfp = self._subbatch_packed(
-                    lambda sel: run_gap(sel, o.cap()), np.array(govf), 8
-                )
-                gfr = unpack_result(gfp, K)
-                for i, r in enumerate(govf):
-                    gap_res[int(r)] = {kk: v[i] for kk, v in gfr.items()}
+            norm_rows = np.array(
+                [r for r in gap_rows if r not in full_loci], dtype=np.int64
+            )
+            if len(norm_rows):
+                with stage("device.gapped"):
+                    gp = self._subbatch_packed(
+                        lambda sel: run_gap(sel, o.verify_width), norm_rows,
+                        o.gap_batch,
+                    )
+                gr = unpack_result(gp, K)
+                for i, r in enumerate(norm_rows):
+                    gap_res[int(r)] = {kk: v[i] for kk, v in gr.items()}
+                govf = [r for i, r in enumerate(norm_rows)
+                        if bool(gr["n_extra"][i, 0])]
+                if govf:
+                    gfp = self._subbatch_packed(
+                        lambda sel: run_gap(sel, o.cap()), np.array(govf), 8
+                    )
+                    gfr = unpack_result(gfp, K)
+                    for i, r in enumerate(govf):
+                        gap_res[int(r)] = {kk: v[i] for kk, v in gfr.items()}
+
+            # overflow rows: gapped check against their FULL-cap loci
+            ovf_gap = [r for r in gap_rows if r in full_loci]
+            if ovf_gap:
+                from ..ops.locate import Loci as _Loci
+
+                sub = 8
+                with stage("device.gapped"):
+                    for s0 in range(0, len(ovf_gap), sub):
+                        rr = ovf_gap[s0 : s0 + sub]
+                        pad = sub - len(rr)
+                        rows = np.array(rr + [rr[-1]] * pad)
+                        mk = lambda part: _Loci(
+                            pos=jnp.asarray(np.stack(
+                                [full_loci[r][part][0] for r in rows])),
+                            pushed=jnp.asarray(np.stack(
+                                [full_loci[r][part][1] for r in rows])),
+                        )
+                        gfp = np.asarray(_pack_gapped(se_gapped(
+                            self.dix, fwd[jnp.asarray(rows)],
+                            rev[jnp.asarray(rows)], mk(0), mk(1),
+                            k=k, u=o.full_cap(), k_hits=K,
+                        )))
+                        gfr = unpack_result(gfp[: len(rr)], K)
+                        for i, r in enumerate(rr):
+                            gap_res[int(r)] = {kk: v[i] for kk, v in gfr.items()}
         return res, needs_gap, gap_res, full_res
 
     # ---------------- per-read finalization ----------------
@@ -286,15 +349,26 @@ class SEAligner:
         B = o.batch_size
         n = len(records)
         out_records: List[str] = [""] * n
-        for start in range(0, n, B):
+        starts = list(range(0, n, B))
+        inflight: List = []  # [(start, nb, handle)] 2-deep software pipeline
+
+        def dispatch(start):
             chunk = codes[start : start + B]
             nb = len(chunk)
             if nb < B:
                 chunk = np.concatenate(
                     [chunk, np.zeros((B - nb, chunk.shape[1]), dtype=np.uint8)]
                 )
+            inflight.append((start, nb, self._dispatch_batch(chunk)))
+
+        if starts:
+            dispatch(starts[0])
+        for si in range(len(starts)):
+            if si + 1 < len(starts):
+                dispatch(starts[si + 1])  # device works while host finalizes
+            start, nb, handle = inflight.pop(0)
             with device_trace("se_batch"):
-                res, needs_gap, gap_res, full_res = self._run_batch(chunk)
+                res, needs_gap, gap_res, full_res = self._complete_batch(handle)
             _fin = stage("host.finalize")
             _fin.__enter__()
             for i in range(nb):

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import GAP_WINDOW_PAD, NOGAP_MAX_DIFF, UINT32_MAX
-from ..ops.locate import Loci, locate, sort_loci
+from ..ops.locate import Loci, LocateOut, locate, sort_loci
 from ..ops.lv import lv_distance_batch
 from ..ops.seed import seed_overlap
 from ..ops.verify import (
@@ -37,7 +37,8 @@ from .device_index import DeviceIndex
 class UngappedOut(NamedTuple):
     res: SEResult
     needs_gap: jnp.ndarray   # bool (B,)
-    overflow: jnp.ndarray    # bool (B,) verify truncated; rerun via fallback
+    overflow: jnp.ndarray    # bool (B,) verify or locate truncated; the
+                             # engine re-runs such reads at full width
     loci0: Loci
     loci1: Loci
 
@@ -91,11 +92,11 @@ def _seed_and_locate(dix: DeviceIndex, seq, l_overlap, max_seed, max_locate,
         dix.ri_c, dix.ri_r, dix.lkt, seq, dix.l_seed, l_overlap, max_seed,
         r_lkt_sp=dix.r_lkt_sp, r_lkt_ep=dix.r_lkt_ep,
     )
-    lc = locate(
-        c_seeds, r_seeds, dix.csa, dix.r_coord, L, dix.l_pac, max_locate,
-        cap, pe_mode=pe_mode,
+    lo = locate(
+        c_seeds, r_seeds, dix.sa_cat, dix.c_sa_len, L, dix.l_pac,
+        max_locate, cap, pe_mode=pe_mode,
     )
-    return sort_loci(lc)
+    return sort_loci(lo.loci), lo.overflow
 
 
 @partial(jax.jit, static_argnames=(
@@ -112,18 +113,22 @@ def se_ungapped(
     k_hits: int = 16,
     pe_mode: bool = False,
 ) -> UngappedOut:
-    def one_strand(seq):
-        lc = _seed_and_locate(dix, seq, l_overlap, max_seed, max_locate, cap,
-                              pe_mode)
-        chk = checked_mask(lc, dix.l_pac)
-        pos, keep, ovf = compact_loci(lc, chk, u)
-        v = mismatch_counts_packed(
-            dix.mixref_words, pos, keep, seq, NOGAP_MAX_DIFF + 1
-        )
-        return lc, v, ovf
-
-    loci0, v0, ovf0 = one_strand(seq_f)
-    loci1, v1, ovf1 = one_strand(seq_r)
+    # both strands ride one (2B, ...) batch: halves the program size and
+    # the per-strand fixed costs (sorts, scatters) vs two separate passes
+    B = seq_f.shape[0]
+    seq2 = jnp.concatenate([seq_f, seq_r], axis=0)
+    lc, loc_ovf = _seed_and_locate(dix, seq2, l_overlap, max_seed,
+                                   max_locate, cap, pe_mode)
+    chk = checked_mask(lc, dix.l_pac)
+    pos, keep, ovf = compact_loci(lc, chk, u)
+    ovf = ovf | loc_ovf
+    v = mismatch_counts_packed(
+        dix.mixref_words, pos, keep, seq2, NOGAP_MAX_DIFF + 1
+    )
+    half = lambda a: (a[:B], a[B:])
+    v0, v1 = (StrandVerify(*z) for z in zip(*map(half, v)))
+    loci0, loci1 = (Loci(*z) for z in zip(*map(half, lc)))
+    ovf0, ovf1 = half(ovf)
     res = replay_and_select(v0, v1, NOGAP_MAX_DIFF, k_hits)
     return UngappedOut(
         res=res,
@@ -147,15 +152,17 @@ def se_ungapped_full(
 ) -> SEResult:
     """Full-width verify fallback for reads whose unique-candidate count
     exceeded the compact width (rare).  Reuses located loci."""
-    def one(lc, seq):
-        chk = checked_mask(lc, dix.l_pac)
-        pos, keep, _ = compact_loci(lc, chk, lc.pos.shape[-1])
-        return mismatch_counts_packed(
-            dix.mixref_words, pos, keep, seq, NOGAP_MAX_DIFF + 1
-        )
-
-    v0 = one(loci0, seq_f)
-    v1 = one(loci1, seq_r)
+    B = seq_f.shape[0]
+    seq2 = jnp.concatenate([seq_f, seq_r], axis=0)
+    lc = Loci(*(jnp.concatenate([a, b], axis=0)
+                for a, b in zip(loci0, loci1)))
+    chk = checked_mask(lc, dix.l_pac)
+    pos, keep, _ = compact_loci(lc, chk, lc.pos.shape[-1])
+    v = mismatch_counts_packed(
+        dix.mixref_words, pos, keep, seq2, NOGAP_MAX_DIFF + 1
+    )
+    half = lambda a: (a[:B], a[B:])
+    v0, v1 = (StrandVerify(*z) for z in zip(*map(half, v)))
     return replay_and_select(v0, v1, NOGAP_MAX_DIFF, k_hits)
 
 
@@ -203,7 +210,13 @@ def se_gapped(
     u: int = 64,
     k_hits: int = 16,
 ) -> GappedOut:
-    v0, ovf0 = _gapped_verify(dix, loci0, seq_f, u, k)
-    v1, ovf1 = _gapped_verify(dix, loci1, seq_r, u, k)
+    B = seq_f.shape[0]
+    seq2 = jnp.concatenate([seq_f, seq_r], axis=0)
+    lc = Loci(*(jnp.concatenate([a, b], axis=0)
+                for a, b in zip(loci0, loci1)))
+    v, ovf = _gapped_verify(dix, lc, seq2, u, k)
+    half = lambda a: (a[:B], a[B:])
+    v0, v1 = (StrandVerify(*z) for z in zip(*map(half, v)))
+    ovf0, ovf1 = half(ovf)
     res = replay_and_select(v0, v1, k, k_hits)
     return GappedOut(res=res, overflow=ovf0 | ovf1)
