@@ -37,6 +37,8 @@ def main(argv=None):
     al.add_argument("-a", "--min-tlen", type=int, default=250)
     al.add_argument("-b", "--max-tlen", type=int, default=550)
     al.add_argument("-e", "--sw", action="store_true")
+    al.add_argument("-X", "--extend", type=int, default=0,
+                    help="extension algorithm: 0=Landau-Vishkin, 1=SW")
     al.add_argument("--batch-size", type=int, default=4096)
     al.add_argument("index_prefix")
     al.add_argument("read1")
@@ -113,6 +115,7 @@ def main(argv=None):
                 print_nm_md=args.md,
                 rg_id=args.group,
                 batch_size=args.batch_size,
+                extend_algo="sw" if args.extend == 1 else "lv",
             )
             al = SEAligner(idx, opts)
             al.align_file(args.read1, sys.stdout,

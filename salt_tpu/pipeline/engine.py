@@ -75,6 +75,15 @@ class SEOptions:
                              # more than the narrow fast pass saves
     pe_locate: bool = False  # alnse_locate (PE) vs alnse_locate_alt caps
     gap_k: Optional[int] = None  # gapped threshold; None -> l_seq // 10
+    # -X 1: Smith-Waterman extension instead of Landau-Vishkin for reads
+    # with no ungapped hit (alnse_overlap_sw, alnse.c:1105-1164).  NOTE:
+    # the reference binary aborts on its own -X 1 path (is_gap=-1 feeds
+    # k=-1 into computeEditDistanceWithCigar's assert), so byte-parity is
+    # undefined; this implements the evident intent: best SW locus wins,
+    # SW cigar with soft clips, MAPQ from (score1, score2).
+    extend_algo: str = "lv"      # "lv" | "sw"
+    sw_thres_score: int = 50     # aln_opt->thres_score (aln.h:144)
+    sw_filterd: int = 20         # aln_opt->filterd (aln.h:142)
 
     def full_cap(self) -> int:
         c = self.max_locate + self.cap_margin
@@ -230,6 +239,15 @@ class SEAligner:
                         )
                         needs_gap[r] = not bool(fr["found"][i])
 
+        if o.extend_algo == "sw":
+            sw_res = {}
+            gap_rows = np.nonzero(needs_gap)[0]
+            if len(gap_rows):
+                with stage("host.sw_extend"):
+                    self._sw_extend(gap_rows, out, full_loci, int(L),
+                                    fwd, rev, sw_res)
+            return res, needs_gap, sw_res, full_res
+
         gap_res = {}
         gap_rows = np.nonzero(needs_gap)[0]
         if len(gap_rows):
@@ -294,7 +312,85 @@ class SEAligner:
                             gap_res[int(r)] = {kk: v[i] for kk, v in gfr.items()}
         return res, needs_gap, gap_res, full_res
 
+    def _sw_extend(self, rows, out, full_loci, L, fwd, rev, sw_res):
+        """Host SW extension over each gap-read's deduped loci
+        (alnse_check_sw/sw_snp semantics; native SSW kernel)."""
+        from ..constants import SW_GAP_EXTEND, SW_GAP_OPEN
+        from ..ops.lv import NT2BIT_NP
+        from ..ops.ssw import SCORE_MAT16, ssw_align
+
+        o = self.opts
+        idx = self.index
+        mix = idx.mixref
+        sel = jnp.asarray(rows)
+        loci_h = []
+        for part in (out.loci0, out.loci1):
+            loci_h.append((
+                np.asarray(part.pos[sel]), np.asarray(part.pushed[sel])
+            ))
+        codes_f_rows = np.asarray(fwd[sel]).astype(np.uint8)
+        codes_r_rows = np.asarray(rev[sel]).astype(np.uint8)
+        for i, r in enumerate(rows):
+            ri = int(r)
+            if ri in full_loci:
+                strands = [
+                    (full_loci[ri][0][0], full_loci[ri][0][1]),
+                    (full_loci[ri][1][0], full_loci[ri][1][1]),
+                ]
+            else:
+                strands = [
+                    (loci_h[0][0][i], loci_h[0][1][i]),
+                    (loci_h[1][0][i], loci_h[1][1][i]),
+                ]
+            best = None
+            b0 = -1
+            codes_f = codes_f_rows[i]
+            codes_r = codes_r_rows[i]
+            for strand, (ps, ks) in enumerate(strands):
+                seq = codes_r if strand else codes_f
+                read = NT2BIT_NP[np.minimum(seq, 4)].astype(np.int8)
+                prev = None
+                for pos, pushed in zip(ps.tolist(), ks.tolist()):
+                    if not pushed:
+                        continue
+                    pos = int(pos)
+                    if pos == prev or pos + L + 4 >= len(mix):
+                        continue
+                    prev = pos
+                    window = mix[pos : pos + L + 5].astype(np.int8)
+                    rr = ssw_align(read, window, SCORE_MAT16, SW_GAP_OPEN,
+                                   SW_GAP_EXTEND, L // 2)
+                    if (rr.score1 >= b0 and
+                            rr.read_end1 - rr.read_begin1 + 1 >= o.sw_filterd):
+                        b0 = rr.score1
+                        best = (rr, pos, strand)
+            if best is not None:
+                rr, pos, strand = best
+                cig = ""
+                if rr.read_begin1 != 0:
+                    cig += f"{rr.read_begin1}S"
+                cig += "".join(f"{c}{op}" for c, op in (rr.cigar or []))
+                if rr.read_end1 != L - 1:
+                    cig += f"{L - rr.read_end1 - 1}S"
+                sw_res[ri] = {
+                    "sw": True,
+                    "found": True,
+                    "pos": np.uint32(rr.ref_begin1 + pos),
+                    "strand": strand,
+                    "mapq": gen_mapq(rr.score1, rr.score2),
+                    "cigar": cig,
+                    "seq_start": rr.read_begin1,
+                }
+
     # ---------------- per-read finalization ----------------
+
+    def _emit_sw(self, name, seq, rseq, qual, r) -> str:
+        o = self.opts
+        return emit_se(
+            self.index, name, seq, rseq, qual, int(r["pos"]),
+            int(r["strand"]), int(r["mapq"]), r["cigar"], "",
+            o.print_nm_md, o.rg_id, seq_start=int(r["seq_start"]),
+        )
 
     def _finalize_read(
         self, name, seq, rseq, qual, found, pos, strand, n_diff, is_gap,
@@ -378,6 +474,11 @@ class SEAligner:
                     continue
                 if needs_gap[i] and i in gap_res:
                     r = gap_res[i]
+                    if r.get("sw"):
+                        out_records[gi] = self._emit_sw(
+                            names[gi], codes[gi], rcodes[gi], quals[gi], r
+                        )
+                        continue
                     is_gap = True
                 elif i in full_res:
                     r = full_res[i]

@@ -98,3 +98,38 @@ def test_ssw_fuzz(lib, snp_aware):
         assert got.read_begin1 == want["read_begin1"], trial
         assert got.read_end1 == want["read_end1"], trial
         assert got.cigar == want["cigar"], (trial, got.cigar, want["cigar"])
+
+
+def test_native_matches_python_emulation():
+    """tools/ssw_native.cpp vs the numpy lane emulation on random inputs."""
+    import numpy as np
+
+    from salt_tpu.ops.lv import NT2BIT_NP
+    from salt_tpu.ops.ssw import ssw_align_native, ssw_align_py
+
+    if ssw_align_native(
+        np.zeros(4, np.int8), np.zeros(8, np.int8), SCORE_MAT5, 3, 1, 2
+    ) is None:
+        import pytest
+
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        refLen = int(rng.integers(40, 500))
+        readLen = int(rng.integers(20, 101))
+        if trial % 2 == 0:
+            mat = SCORE_MAT5
+            ref = rng.integers(0, 4, refLen).astype(np.int8)
+            read = rng.integers(0, 4, readLen).astype(np.int8)
+            start = int(rng.integers(0, refLen - min(readLen, refLen) + 1))
+            emb = min(readLen, refLen - start)
+            ref[start : start + emb] = read[:emb]
+        else:
+            mat = SCORE_MAT16
+            ref = (1 << rng.integers(0, 4, refLen)).astype(np.int8)
+            read = NT2BIT_NP[rng.integers(0, 4, readLen)].astype(np.int8)
+        a = ssw_align_py(read, ref, mat, 3, 1, readLen // 2)
+        b = ssw_align_native(read, ref, mat, 3, 1, readLen // 2)
+        for f in ("score1", "score2", "ref_begin1", "ref_end1",
+                  "read_begin1", "read_end1", "ref_end2", "cigar"):
+            assert getattr(a, f) == getattr(b, f), (trial, f)

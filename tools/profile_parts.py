@@ -29,12 +29,12 @@ def f_seed(seq):
 @partial(jax.jit)
 def f_locate(seq):
     c, r = seed_overlap(dix.ri_c, dix.ri_r, dix.lkt, seq, 19, 1, 50)
-    return sort_loci(locate(c, r, dix.csa, dix.r_coord, 100, dix.l_pac, 500, CAP))
+    return sort_loci(locate(c, r, dix.sa_cat, dix.c_sa_len, 100, dix.l_pac, 500, CAP))
 
 @partial(jax.jit)
 def f_verify(seq):
     c, r = seed_overlap(dix.ri_c, dix.ri_r, dix.lkt, seq, 19, 1, 50)
-    lc = sort_loci(locate(c, r, dix.csa, dix.r_coord, 100, dix.l_pac, 500, CAP))
+    lc = sort_loci(locate(c, r, dix.sa_cat, dix.c_sa_len, 100, dix.l_pac, 500, CAP))
     return mismatch_counts(dix.mixref, lc, seq, dix.l_pac)
 
 def bench(name, fn):
