@@ -286,18 +286,30 @@ class PEAligner:
         rcodes = revcomp(codes)
         n_amb = (codes > 3).sum(axis=1)
 
-        # device SE stage for all 2n ends, batched
+        # device SE stage for all 2n ends, batched; 2-deep software
+        # pipeline (dispatch batch i+1 before completing batch i)
         B = o.batch_size
         ends: List[_End] = []
         results = {}
-        for start in range(0, 2 * n, B):
+        starts = list(range(0, 2 * n, B))
+        inflight = []
+
+        def dispatch(start):
             chunk = codes[start : start + B]
             nb = len(chunk)
             if nb < B:
                 chunk = np.concatenate(
                     [chunk, np.zeros((B - nb, chunk.shape[1]), np.uint8)]
                 )
-            res, needs_gap, gap_res, full_res = self._se._run_batch(chunk)
+            inflight.append((start, nb, self._se._dispatch_batch(chunk)))
+
+        if starts:
+            dispatch(starts[0])
+        for si in range(len(starts)):
+            if si + 1 < len(starts):
+                dispatch(starts[si + 1])
+            start, nb, handle = inflight.pop(0)
+            res, needs_gap, gap_res, full_res = self._se._complete_batch(handle)
             for i in range(nb):
                 gi = start + i
                 if needs_gap[i] and i in gap_res:
