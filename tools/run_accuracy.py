@@ -1,0 +1,131 @@
+"""End-to-end accuracy harness, the port of the reference's
+Test/Run_test/run_test.sh flow:
+
+  1. simulate PE reads with wgsim (vendored in the reference tree;
+     zero sequencing error, 5% mutation, truth in read names),
+  2. feed the simulated substitutions to the indexer as "known SNPs"
+     (hapmap conversion of mutations.txt, run_test.sh:27-29),
+  3. build the SNP-aware index,
+  4. align SE and PE with salt_tpu,
+  5. score with the alneval evaluator (wgsim_eval.pl port).
+
+Usage: python tools/run_accuracy.py [n_pairs] [--genome FA] [--ref-compare]
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WGSIM_SRC = "/root/reference/Test/Simulator/wgsim-master/wgsim.c"
+DEFAULT_GENOME = "/root/reference/Test/Genome/Genome.fa"
+
+
+def ensure_wgsim(workdir: str) -> str:
+    for cand in ("/tmp/refbuild/Test/Simulator/wgsim-master/wgsim",
+                 os.path.join(workdir, "wgsim")):
+        if os.path.exists(cand):
+            return cand
+    out = os.path.join(workdir, "wgsim")
+    subprocess.run(
+        ["gcc", "-O2", "-o", out, WGSIM_SRC, "-lz", "-lm"], check=True
+    )
+    return out
+
+
+def mutations_to_hapmap(mut_path: str, hap_path: str) -> int:
+    """run_test.sh:27-29: keep single-base substitutions, canonicalize
+    allele order (ref/alt sorted), emit chrom pos alleles ref."""
+    n = 0
+    with open(mut_path) as fin, open(hap_path, "w") as fout:
+        for line in fin:
+            w = line.rstrip("\n").split("\t")
+            if len(w) < 4 or w[2] == "-" or w[3] == "-" or len(w[3]) != 1:
+                continue
+            ref, alt = w[2], w[3]
+            alleles = f"{ref}/{alt}" if ref < alt else f"{alt}/{ref}"
+            print(f"{w[0]}\t{w[1]}\t{alleles}\t{ref}", file=fout)
+            n += 1
+    return n
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("n_pairs", nargs="?", type=int, default=20000)
+    ap.add_argument("--genome", default=DEFAULT_GENOME)
+    ap.add_argument("--workdir", default="/tmp/salt_tpu_accuracy")
+    ap.add_argument("--seed-len", type=int, default=19)
+    ap.add_argument("--se-only", action="store_true")
+    ap.add_argument("--max-err", type=float, default=0.0,
+                    help="fail if total error rate exceeds this")
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    wd = args.workdir
+    wgsim = ensure_wgsim(wd)
+    r1, r2 = f"{wd}/R1.fq", f"{wd}/R2.fq"
+    mut = f"{wd}/mutations.txt"
+    if not os.path.exists(r1):
+        with open(mut, "w") as m:
+            subprocess.run(
+                [wgsim, "-S", "42", "-e", "0", "-r", "0.05", "-R", "0",
+                 "-d", "500", "-s", "50", "-N", str(args.n_pairs),
+                 "-1", "100", "-2", "100", "-h", args.genome, r1, r2],
+                stdout=m, stderr=subprocess.DEVNULL, check=True,
+            )
+    n_snp = mutations_to_hapmap(mut, f"{wd}/hapmap.txt")
+    print(f"[harness] {args.n_pairs} pairs simulated, {n_snp} SNPs", flush=True)
+
+    from salt_tpu.eval import alneval
+    from salt_tpu.index.build import build_index
+    from salt_tpu.io.fasta import read_records
+    from salt_tpu.pipeline.engine import SEAligner, SEOptions
+
+    t0 = time.time()
+    idx = build_index(args.genome, f"{wd}/hapmap.txt", l_seed=args.seed_len)
+    print(f"[harness] index built in {time.time()-t0:.1f}s", flush=True)
+
+    recs1 = list(read_records(r1))
+
+    # ---- SE (run_se_test.sh args: -d -r 1 -l 100 -n 20 -c -m 500) ----
+    al = SEAligner(idx, SEOptions(
+        l_overlap=1, max_locate=500, print_nm_md=True, print_xa_cigar=True,
+    ))
+    t0 = time.time()
+    out = al.align_records(recs1)
+    dt = time.time() - t0
+    ev = alneval(line + "\n" for line in out if line)
+    print(f"[SE] {len(recs1)} reads in {dt:.1f}s ({len(recs1)/dt:.0f} reads/s)")
+    print(ev.report(), flush=True)
+    se_rate = ev.n_wrong / max(ev.n_mapped, 1)
+
+    pe_rate = 0.0
+    if not args.se_only:
+        from salt_tpu.pipeline.pe_engine import PEAligner, PEOptions
+
+        recs2 = list(read_records(r2))
+        pal = PEAligner(idx, PEOptions(
+            l_overlap=5, max_locate=1000, min_tlen=350, max_tlen=650,
+            print_nm_md=True, print_xa_cigar=True,
+        ))
+        t0 = time.time()
+        out = pal.align_pairs(recs1, recs2)
+        dt = time.time() - t0
+        ev = alneval(line for line in out if line.strip())
+        print(f"[PE] {len(recs1)} pairs in {dt:.1f}s ({len(recs1)/dt:.0f} pairs/s)")
+        print(ev.report(), flush=True)
+        pe_rate = ev.n_wrong / max(ev.n_mapped, 1)
+
+    worst = max(se_rate, pe_rate)
+    if worst > args.max_err:
+        print(f"[harness] FAIL: error rate {worst:.2e} > {args.max_err:.2e}")
+        return 1
+    print("[harness] PASS")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
