@@ -1,0 +1,36 @@
+"""Pallas banded-LV kernel vs the jnp reference implementation."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from salt_tpu.ops.lv import lv_distance_batch
+from salt_tpu.ops.lv_pallas import lv_distance_batch_pallas
+
+
+@pytest.mark.parametrize("k", [3, 10])
+def test_pallas_matches_jnp(k):
+    rng = np.random.default_rng(5)
+    N, L = 160, 100
+    mlen = 4000
+    mix = (1 << rng.integers(0, 4, mlen)).astype(np.uint8)
+    snp = rng.random(mlen) < 0.05
+    mix[snp] |= (1 << rng.integers(0, 4, snp.sum())).astype(np.uint8)
+    pos = rng.integers(0, mlen - 130, N).astype(np.int32)
+    seq = rng.integers(0, 4, (N, L)).astype(np.int32)
+    for i in range(0, N, 2):  # plant half with few mismatches
+        window = mix[pos[i] : pos[i] + L]
+        bases = np.array([(int(v) & -int(v)).bit_length() - 1 for v in window])
+        r = bases.copy()
+        for _ in range(int(rng.integers(0, 5))):
+            j = rng.integers(0, L)
+            r[j] = (r[j] + 1) % 4
+        seq[i] = r
+    active = rng.random(N) < 0.9
+    a = np.asarray(lv_distance_batch(
+        jnp.asarray(mix), jnp.asarray(pos), jnp.asarray(active),
+        jnp.asarray(seq), k))
+    b = np.asarray(lv_distance_batch_pallas(
+        jnp.asarray(mix), jnp.asarray(pos), jnp.asarray(active),
+        jnp.asarray(seq), k, interpret=True))
+    assert (a == b).all()
