@@ -40,6 +40,12 @@ def main(argv=None):
     al.add_argument("-X", "--extend", type=int, default=0,
                     help="extension algorithm: 0=Landau-Vishkin, 1=SW")
     al.add_argument("--batch-size", type=int, default=4096)
+    al.add_argument("--part-dir", default=None,
+                    help="multi-host mode: write per-batch SAM parts here")
+    al.add_argument("--shard-batch", type=int, default=100000,
+                    help="reads per shard batch (multi-host granularity)")
+    al.add_argument("--merge", action="store_true",
+                    help="merge part-dir into SAM on stdout and exit")
     al.add_argument("index_prefix")
     al.add_argument("read1")
     al.add_argument("read2", nargs="?")
@@ -89,6 +95,14 @@ def main(argv=None):
 
         idx = load_index(args.index_prefix)
         l_overlap = args.overlap if args.overlap > 0 else idx.l_seed
+        if args.merge:
+            from .io.sam import sam_header
+            from .parallel.driver import merge_parts
+
+            merge_parts(args.part_dir, sys.stdout,
+                        sam_header(idx, " ".join(["salt-tpu"] + argv),
+                                   args.group))
+            return 0
         if args.pe:
             from .pipeline.pe_engine import PEAligner, PEOptions
 
@@ -104,8 +118,17 @@ def main(argv=None):
                 batch_size=args.batch_size,
             )
             al = PEAligner(idx, opts)
-            al.align_files(args.read1, args.read2, sys.stdout,
-                           cmd=" ".join(["salt-tpu"] + argv))
+            if args.part_dir:
+                from .parallel.driver import (align_file_sharded,
+                                              maybe_init_distributed)
+
+                pid, npro = maybe_init_distributed()
+                align_file_sharded(al, args.read1, args.part_dir, pid, npro,
+                                   batch_size=args.shard_batch,
+                                   fastq2=args.read2)
+            else:
+                al.align_files(args.read1, args.read2, sys.stdout,
+                               cmd=" ".join(["salt-tpu"] + argv))
         else:
             opts = SEOptions(
                 l_overlap=l_overlap,
@@ -118,8 +141,16 @@ def main(argv=None):
                 extend_algo="sw" if args.extend == 1 else "lv",
             )
             al = SEAligner(idx, opts)
-            al.align_file(args.read1, sys.stdout,
-                          cmd=" ".join(["salt-tpu"] + argv))
+            if args.part_dir:
+                from .parallel.driver import (align_file_sharded,
+                                              maybe_init_distributed)
+
+                pid, npro = maybe_init_distributed()
+                align_file_sharded(al, args.read1, args.part_dir, pid, npro,
+                                   batch_size=args.shard_batch)
+            else:
+                al.align_file(args.read1, sys.stdout,
+                              cmd=" ".join(["salt-tpu"] + argv))
         return 0
 
     if args.cmd == "polish":
