@@ -39,6 +39,16 @@ def main(argv=None):
     al.add_argument("-e", "--sw", action="store_true")
     al.add_argument("-X", "--extend", type=int, default=0,
                     help="extension algorithm: 0=Landau-Vishkin, 1=SW")
+    # accepted for drop-in compatibility; parsed but dead in the
+    # reference too (aln.c:183,190-196 set fields no code reads)
+    al.add_argument("-v", "--ref", action="store_true",
+                    help=argparse.SUPPRESS)
+    al.add_argument("-M", "--mismatch", type=int, default=None,
+                    help=argparse.SUPPRESS)
+    al.add_argument("-O", "--gapop", type=int, default=None,
+                    help=argparse.SUPPRESS)
+    al.add_argument("-E", "--gapex", type=int, default=None,
+                    help=argparse.SUPPRESS)
     al.add_argument("--batch-size", type=int, default=4096)
     al.add_argument("--part-dir", default=None,
                     help="multi-host mode: write per-batch SAM parts here")
