@@ -59,7 +59,7 @@ def locate(
     """
     B, S = c_seeds.sp.shape
 
-    def prep(seeds: Seeds, is_r: bool):
+    def fam(seeds: Seeds, is_r: bool):
         width = seeds.ep - seeds.sp  # can be negative for invalid seeds
         if pe_mode:
             if is_r:
@@ -78,22 +78,33 @@ def locate(
                 count = jnp.where(seeds.valid, width // n_skip + 1, 0)
             else:
                 n_skip = jnp.ones_like(width)
-        order = jnp.argsort(jnp.where(seeds.valid, width, jnp.int32(2**30)),
-                            axis=-1, stable=True)
-        take = lambda a: jnp.take_along_axis(a, order, axis=-1)
-        return take(seeds.sp), take(seeds.offset), take(count), take(n_skip)
+        # sort key: valid C widths < valid R widths < invalid.  Widths are
+        # clamped to 2^28-1 for the key only — wider (garbage) intervals
+        # order as equal, which the reference's non-stable introsort
+        # doesn't define any better (alnse.c:307).
+        key = jnp.where(
+            seeds.valid,
+            jnp.minimum(width, jnp.int32(2**28 - 1))
+            + (jnp.int32(2**28) if is_r else jnp.int32(0)),
+            jnp.int32(2**29) + (jnp.int32(2**28) if is_r else jnp.int32(0)),
+        )
+        return key, count, n_skip
 
-    sp_c, off_c, cnt_c, skip_c = prep(c_seeds, False)
-    sp_r, off_r, cnt_r, skip_r = prep(r_seeds, True)
+    key_c, cnt_c, skip_c = fam(c_seeds, False)
+    key_r, cnt_r, skip_r = fam(r_seeds, True)
 
-    # concatenated C-then-R seed stream per read
-    sp = jnp.concatenate([sp_c, sp_r], axis=-1)          # (B, 2S)
-    off = jnp.concatenate([off_c, off_r], axis=-1)
-    cnt = jnp.concatenate([cnt_c, cnt_r], axis=-1)
-    skip = jnp.concatenate([skip_c, skip_r], axis=-1)
-    is_r = jnp.concatenate(
-        [jnp.zeros((B, S), bool), jnp.ones((B, S), bool)], axis=-1
+    # one stable multi-operand sort orders the concatenated C-then-R seed
+    # stream by (family, width) — replaces two argsorts + eight gathers
+    key2 = jnp.concatenate([key_c, key_r], axis=-1)      # (B, 2S)
+    sp2 = jnp.concatenate([c_seeds.sp, r_seeds.sp], axis=-1)
+    off2 = jnp.concatenate([c_seeds.offset, r_seeds.offset], axis=-1)
+    cnt2 = jnp.concatenate([cnt_c, cnt_r], axis=-1)
+    skip2 = jnp.concatenate([skip_c, skip_r], axis=-1)
+    key_s, sp, off, cnt, skip = jax.lax.sort(
+        [key2, sp2, off2, cnt2, skip2], dimension=1, num_keys=1,
+        is_stable=True,
     )
+    is_r = (key_s & jnp.int32(2**28)) != 0
 
     cum = jnp.cumsum(cnt, axis=-1)                        # inclusive
     total = cum[:, -1]
@@ -124,15 +135,18 @@ def locate(
     )
     in_range = (slots[None, :] < total[:, None]) & (seed_of_rankpos >= 0)
 
-    # fused per-seed attribute gather: one row gather instead of four
+    # fused per-seed attribute gather: one 3-wide row gather.  rank =
+    # sp + (slot - cum_ex) * skip is refactored to fused + slot * skip
+    # (int32 wraparound in the intermediate is harmless — the final rank
+    # is in range, and XLA int arithmetic is two's-complement).
+    fused = sp - cum_ex * skip
     attrs = jnp.stack(
-        [sp, off, cum_ex, skip * 2 + is_r.astype(jnp.int32)], axis=-1
-    )  # (B, 2S, 4)
-    rows = jnp.take_along_axis(attrs, seed_idx[..., None], axis=1)  # (B,cap,4)
-    within = slots[None, :] - rows[..., 2]
-    rank = rows[..., 0] + within * (rows[..., 3] >> 1)
-    slot_is_r = (rows[..., 3] & 1).astype(bool)
-    offset = rows[..., 1]
+        [fused, skip, off * 2 + is_r.astype(jnp.int32)], axis=-1
+    )  # (B, 2S, 3)
+    rows = jnp.take_along_axis(attrs, seed_idx[..., None], axis=1)  # (B,cap,3)
+    rank = rows[..., 0] + slots[None, :] * rows[..., 1]
+    slot_is_r = (rows[..., 2] & 1).astype(bool)
+    offset = rows[..., 2] >> 1
 
     rank_c = jnp.clip(rank, 0, c_sa_len - 1)
     rank_r = jnp.clip(rank, 0, sa_cat.shape[0] - c_sa_len - 1) + c_sa_len
@@ -158,11 +172,12 @@ def locate(
 def sort_loci(loci: Loci) -> Loci:
     """Sort pushed loci ascending per read (ks_introsort, alnse.c:728).
 
-    Un-pushed slots are keyed 0xFFFFFFFF; they may interleave with pushed
-    garbage positions of the same value, which is harmless because both
-    fail the in-range check downstream."""
+    Un-pushed slots are keyed 0xFFFFFFFF, and `pushed` is re-derived from
+    the sorted key — a single-operand sort.  A genuinely pushed position
+    of exactly 0xFFFFFFFF (wraparound pos == -1) is conflated with the
+    sentinel, which is harmless: such a candidate fails the in-range
+    check in the ungapped path and the in-ref mask in the gapped path
+    either way, contributing nothing downstream."""
     key = jnp.where(loci.pushed, loci.pos, jnp.uint32(0xFFFFFFFF))
-    key_sorted, pushed_sorted = jax.lax.sort(
-        [key, loci.pushed.astype(jnp.int32)], dimension=1, num_keys=1
-    )
-    return Loci(pos=key_sorted, pushed=pushed_sorted.astype(bool))
+    (key_sorted,) = jax.lax.sort([key], dimension=1, num_keys=1)
+    return Loci(pos=key_sorted, pushed=key_sorted != jnp.uint32(0xFFFFFFFF))

@@ -74,8 +74,13 @@ def compact_loci(loci: Loci, checked: jnp.ndarray, u: int):
     rows = jnp.arange(B, dtype=jnp.int32)[:, None]
     pos = jnp.full((B, u), UINT32_MAX, dtype=loci.pos.dtype)
     pos = pos.at[rows, tgt].set(loci.pos, mode="drop")
-    keep = jnp.zeros((B, u), dtype=bool)
-    keep = keep.at[rows, tgt].set(True, mode="drop")
+    # `keep` re-derived from the sentinel instead of a second scatter.
+    # A checked pos of exactly 0xFFFFFFFF (wraparound pos == -1 passing
+    # the gapped end-check) is conflated: it then reads as absent, which
+    # is equivalent — such a candidate fails the ungapped in-range rule
+    # by construction and is masked by in_ref in the gapped verify, so
+    # its count is unobservable either way.
+    keep = pos != jnp.asarray(UINT32_MAX, dtype=loci.pos.dtype)
     n_checked = jnp.sum(checked, axis=-1)
     return pos, keep, n_checked > u
 
@@ -87,8 +92,17 @@ def mismatch_counts_packed(
     seq: jnp.ndarray,           # (B, L) codes for this strand
     clamp: int,
 ) -> StrandVerify:
-    """Word-packed ed_mismatch: gathers ~L/8 uint32 words per candidate
-    instead of L bytes, then counts AND-zero nibbles on the VPU."""
+    """Word-packed ed_mismatch: gathers ~L/8 uint32 words per candidate,
+    then counts nonzero AND-nibbles with a bit trick + popcount — fully
+    word-parallel on the VPU, no per-nibble unpacking.
+
+    The read's one-hot pattern is pre-packed into words at each of the 8
+    possible nibble alignments ONCE PER READ (not per candidate); each
+    candidate selects its alignment row, ANDs against the gathered
+    reference words, reduces any-bit-per-nibble to bit0 (x|x>>1|x>>2|x>>3
+    folded to two shifts), masks with 0x11111111 and popcounts.  Pattern
+    nibbles outside the read span are zero, so they AND to zero and the
+    mismatch count is simply L - matches."""
     B, U = pos.shape
     L = seq.shape[-1]
     NW = (L + 7 + 7) // 8 + 1          # words covering any alignment
@@ -98,27 +112,30 @@ def mismatch_counts_packed(
     align = base & 7
     widx = wstart[..., None] + jnp.arange(NW, dtype=jnp.int32)
     widx = jnp.clip(widx, 0, mixref_words.shape[0] - 1)
-    words = mixref_words[widx]                          # (B, U, NW)
-    shifts = (jnp.arange(8, dtype=jnp.uint32) * 4)
-    nib = ((words[..., None] >> shifts) & jnp.uint32(15)).astype(jnp.uint8)
-    nib = nib.reshape(B, U, NP)                          # (B, U, NP)
+    words = mixref_words[widx].astype(jnp.uint32)       # (B, U, NW)
 
-    # read one-hot placed at each of the 8 possible alignments; compute
-    # the mismatch count for ALL 8 shifts on the VPU and select by align
-    # afterwards — avoids a huge per-element gather.
-    bits = NT2BIT[jnp.clip(seq, 0, 4)]                   # (B, L) uint8
+    bits = NT2BIT[jnp.clip(seq, 0, 4)].astype(jnp.uint32)   # (B, L)
     a8 = jnp.arange(8, dtype=jnp.int32)
     j = jnp.arange(NP, dtype=jnp.int32)
-    # pat8[b, a, j] = bits[b, j - a] if 0 <= j - a < L else 0
+    # pat nibble stream at alignment a: bits[b, j - a] inside the span
     rel = j[None, :] - a8[:, None]                       # (8, NP)
     valid = (rel >= 0) & (rel < L)
     relc = jnp.clip(rel, 0, L - 1)
     pat8 = jnp.where(valid[None], bits[:, relc], 0)      # (B, 8, NP)
+    # pack 8 little-endian nibbles per uint32 word
+    sh = (jnp.arange(8, dtype=jnp.uint32) * 4)
+    pat8w = jnp.sum(
+        pat8.reshape(B, 8, NW, 8) << sh, axis=-1, dtype=jnp.uint32
+    )                                                    # (B, 8, NW)
 
-    mism8 = valid[None, None] & ((nib[:, :, None, :] & pat8[:, None]) == 0)
-    counts8 = jnp.sum(mism8, axis=-1, dtype=jnp.int32)   # (B, U, 8)
-    counts = jnp.take_along_axis(counts8, align[..., None], axis=-1)[..., 0]
-    counts = jnp.minimum(counts, clamp)
+    pat_sel = jnp.take_along_axis(pat8w, align[:, :, None], axis=1)  # (B,U,NW)
+    x = words & pat_sel
+    t = x | (x >> 1)
+    t = (t | (t >> 2)) & jnp.uint32(0x11111111)
+    matches = jnp.sum(
+        jax.lax.population_count(t), axis=-1, dtype=jnp.int32
+    )                                                    # (B, U)
+    counts = jnp.minimum(L - matches, clamp)
     counts = jnp.where(keep, counts, BIG)
     return StrandVerify(counts=counts, checked=keep, pos=pos)
 
