@@ -12,6 +12,20 @@ import sys
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
+    # pass-through subcommands dispatch before argparse: REMAINDER does
+    # not capture leading option flags (e.g. `wgsim -e 0 ...`)
+    if argv and argv[0] == "wgsim":
+        from .sim.wgsim import wgsim_main
+
+        return wgsim_main(argv[1:])
+    if argv and argv[0] == "snp-etl":
+        from .etl.snp_etl import _main as etl_main
+
+        return etl_main(argv[1:])
+    if argv and argv[0] == "alneval":
+        from .eval.wgsim_eval import _main as eval_main
+
+        return eval_main(argv[1:])
     ap = argparse.ArgumentParser(prog="salt-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -77,7 +91,16 @@ def main(argv=None):
     )
     ev.add_argument("rest", nargs=argparse.REMAINDER)
 
+    sim = sub.add_parser(
+        "wgsim", help="simulate reads (wgsim-compatible)", add_help=False
+    )
+    sim.add_argument("rest", nargs=argparse.REMAINDER)
+
     args = ap.parse_args(argv)
+    if args.cmd == "wgsim":
+        from .sim.wgsim import wgsim_main
+
+        return wgsim_main(args.rest)
     if args.cmd == "snp-etl":
         from .etl.snp_etl import _main as etl_main
 

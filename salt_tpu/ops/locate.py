@@ -110,43 +110,42 @@ def locate(
     total = cum[:, -1]
     cum_ex = cum - cnt                                    # exclusive
 
-    # slot t -> seed index: scatter a 1 at each seed's first slot and
-    # prefix-sum (cheaper than a vmapped searchsorted)
+    # slot t -> seed index: scatter (seed_idx + 1) at each nonempty
+    # seed's first slot and forward-fill with a running max — one
+    # scatter + one scan, no ordinal indirection.  Starts are strictly
+    # increasing over nonempty seeds, so each writes a distinct slot,
+    # and a later seed always has the larger index.
     slots = jnp.arange(cap, dtype=jnp.int32)
     starts = jnp.where(cnt > 0, cum_ex, cap)              # (B, 2S)
+    rows_i = jnp.arange(B, dtype=jnp.int32)[:, None]
     marks = jnp.zeros((B, cap), dtype=jnp.int32)
-    marks = marks.at[
-        jnp.arange(B, dtype=jnp.int32)[:, None], jnp.clip(starts, 0, cap)
-    ].add(1, mode="drop")
-    seed_of_rankpos = jnp.cumsum(marks, axis=-1) - 1      # index into nonempty seeds
-    # map "nonempty seed ordinal" back to seed index
-    nz = cnt > 0
-    ord_of_seed = jnp.cumsum(nz.astype(jnp.int32), axis=-1) - 1
-    seed_lookup = jnp.zeros((B, 2 * S), dtype=jnp.int32)
-    seed_lookup = seed_lookup.at[
-        jnp.arange(B, dtype=jnp.int32)[:, None],
-        jnp.where(nz, ord_of_seed, 2 * S - 1),
-    ].set(
-        jnp.broadcast_to(jnp.arange(2 * S, dtype=jnp.int32), (B, 2 * S)),
+    marks = marks.at[rows_i, jnp.clip(starts, 0, cap)].max(
+        jnp.broadcast_to(jnp.arange(1, 2 * S + 1, dtype=jnp.int32), (B, 2 * S)),
         mode="drop",
     )
-    seed_idx = jnp.take_along_axis(
-        seed_lookup, jnp.clip(seed_of_rankpos, 0, 2 * S - 1), axis=-1
-    )
-    in_range = (slots[None, :] < total[:, None]) & (seed_of_rankpos >= 0)
+    seed_idx = (
+        jax.lax.associative_scan(jnp.maximum, marks, axis=-1) - 1
+    )                                                     # (B, cap)
+    in_range = (slots[None, :] < total[:, None]) & (seed_idx >= 0)
 
-    # fused per-seed attribute gather: one 3-wide row gather.  rank =
+    # fused per-seed attribute gather: one 2-wide row gather.  rank =
     # sp + (slot - cum_ex) * skip is refactored to fused + slot * skip
     # (int32 wraparound in the intermediate is harmless — the final rank
-    # is in range, and XLA int arithmetic is two's-complement).
+    # is in range, and XLA int arithmetic is two's-complement).  skip
+    # and (offset, is_r) share the second word: skip is clamped to 19
+    # bits (only reachable by the PE R-subsample stride, where the
+    # stride is already an intended deterministic divergence) and
+    # offset < 2^11 (seed start within the read; read length <= 2047).
+    skip = jnp.minimum(skip, jnp.int32(2**19 - 1))
     fused = sp - cum_ex * skip
-    attrs = jnp.stack(
-        [fused, skip, off * 2 + is_r.astype(jnp.int32)], axis=-1
-    )  # (B, 2S, 3)
-    rows = jnp.take_along_axis(attrs, seed_idx[..., None], axis=1)  # (B,cap,3)
-    rank = rows[..., 0] + slots[None, :] * rows[..., 1]
-    slot_is_r = (rows[..., 2] & 1).astype(bool)
-    offset = rows[..., 2] >> 1
+    packed = (skip << 12) | (off << 1) | is_r.astype(jnp.int32)
+    attrs = jnp.stack([fused, packed], axis=-1)           # (B, 2S, 2)
+    rows = jnp.take_along_axis(
+        attrs, jnp.clip(seed_idx, 0, 2 * S - 1)[..., None], axis=1
+    )                                                     # (B, cap, 2)
+    rank = rows[..., 0] + slots[None, :] * (rows[..., 1] >> 12)
+    slot_is_r = (rows[..., 1] & 1).astype(bool)
+    offset = (rows[..., 1] >> 1) & jnp.int32(0x7FF)
 
     rank_c = jnp.clip(rank, 0, c_sa_len - 1)
     rank_r = jnp.clip(rank, 0, sa_cat.shape[0] - c_sa_len - 1) + c_sa_len

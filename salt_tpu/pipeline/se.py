@@ -117,6 +117,8 @@ def se_ungapped(
     # both strands ride one (2B, ...) batch: halves the program size and
     # the per-strand fixed costs (sorts, scatters) vs two separate passes
     B = seq_f.shape[0]
+    # locate packs the seed offset into 11 bits (ops/locate.py)
+    assert seq_f.shape[1] <= 2047, "reads longer than 2047bp unsupported"
     seq2 = jnp.concatenate([seq_f, seq_r], axis=0)
     lc, loc_ovf = _seed_and_locate(dix, seq2, l_overlap, max_seed,
                                    max_locate, cap, pe_mode)

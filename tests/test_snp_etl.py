@@ -89,3 +89,100 @@ def test_filter_against_genome(tmp_path):
     )
     assert kept == ["c1\t1\tA/G\tA"]
     assert out_fa.getvalue().startswith(">c1\nACGTACGT\n")
+
+
+# ---------------------------------------------------------------------------
+# Script/ tool equivalents: snp2bed, fill-rs, extract-indel, sort-vcf, stat-cov
+
+def _ucsc_row(chrom, start, end, name, strand, ref, observed, vtype):
+    return "\t".join(
+        ["585", chrom, str(start), str(end), name, "0", strand,
+         ref, ref, observed, "genomic", vtype]
+    )
+
+
+def test_snp2bed(tmp_path):
+    from salt_tpu.etl.snp_etl import snp2bed
+
+    fa = tmp_path / "g.fa"
+    fa.write_text(">c1\nACGTACGTAC\n")
+    rows = [
+        _ucsc_row("c1", 2, 3, "rs1", "+", "G", "G/T", "single"),  # base G ok
+        _ucsc_row("c1", 4, 5, "rs2", "-", "A", "G/T", "single"),  # obs -> C/A; base A ok
+        _ucsc_row("c1", 6, 7, "rs3", "+", "G", "C/T", "single"),  # base G not in C/T
+        _ucsc_row("c1", 0, 2, "rs4", "+", "AC", "AC/T", "single"),  # len != 1
+    ]
+    out = list(snp2bed(str(fa), rows))
+    assert out == ["c1\t2\t3", "c1\t4\t5"]
+
+
+def test_fill_rs_maps_through_cigar():
+    from salt_tpu.etl.snp_etl import fill_rs, _cigar_t_shift
+
+    # XV offset 5 through 3M2I5M: q_shift=5 -> t = 3 + min(5, 5-5+1)=3+1 -> t-1=5... 
+    # verify against the reference formula directly
+    assert _cigar_t_shift("10M", 4) == 4
+    assert _cigar_t_shift("5S10M", 4) == 4          # clip skipped
+    assert _cigar_t_shift("3M2I5M", 6) == 4         # 2 inserted bases don't consume ref
+    assert _cigar_t_shift("3M2D5M", 3) == 5         # deletion consumes ref
+    sam = [
+        "@HD\tVN:1.3",
+        "r1\t0\tc1\t100\t60\t10M\t*\t0\t0\tACGTACGTAC\tIIIIIIIIII\tXV:i:4",
+    ]
+    db = [_ucsc_row("c1", 103, 104, "rs77", "+", "A", "A/G", "single")]
+    out = list(fill_rs(sam, db))
+    assert out[1].endswith("RS:Z:rs77")
+    # unresolvable offset raises in strict mode, skipped in lenient
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        list(fill_rs([sam[1]], []))
+    out = list(fill_rs([sam[1]], [], strict=False))
+    assert "RS:Z" not in out[0]
+
+
+def test_extract_indel(tmp_path):
+    from salt_tpu.etl.snp_etl import extract_indel
+
+    fa = tmp_path / "g.fa"
+    seq = "ACGTACGTACGTACGTACGT"
+    fa.write_text(f">c1\n{seq}\n")
+    rows = [
+        _ucsc_row("c1", 8, 10, "rs9", "+", "GT", "-/GT", "deletion"),
+    ]
+    # make the base check pass: seq[7] = 'T' must be in observed list
+    rows = [_ucsc_row("c1", 8, 10, "rs9", "+", "GT", "-/T", "deletion")]
+    extract_indel(str(fa), rows, str(tmp_path / "out"), segment_len=5)
+    ind = (tmp_path / "out.indel.fa").read_text().splitlines()
+    assert ind[0] == ">c1_8_10_deletion"
+    # flank = seq[2:7] + seq[10:15]
+    assert ind[1] == seq[2:7] + seq[10:15]
+    assert (tmp_path / "out.fa").read_text().startswith(">c1\n")
+
+
+def test_sort_vcf():
+    from salt_tpu.etl.snp_etl import sort_vcf
+
+    lines = [
+        "chr2\t50\t.\tA\tG\t.\t.\t.",
+        "chr1\t99\t.\tA\tG\t.\t.\t.",
+        "chr1\t5\t.\tC\tT\t.\t.\t.",
+        "chrUn_x\t1\t.\tC\tT\t.\t.\t.",   # dropped (not in canonical list)
+        "#comment",
+    ]
+    out = list(sort_vcf(lines))
+    assert [l.split("\t")[0:2] for l in out] == [
+        ["chr1", "5"], ["chr1", "99"], ["chr2", "50"]]
+
+
+def test_stat_cov():
+    from salt_tpu.etl.snp_etl import stat_cov
+
+    bed = ["c1\t5\t6", "c1\t100\t101", "c2\t0\t10"]
+    sam = [
+        "@HD\tVN:1.3",
+        "r1\t0\tc1\t1\t60\t10M\t*\t0\t0\tAAAAAAAAAA\tIIIIIIIIII",   # covers c1[0,10) -> pos 5
+        "r2\t0\tc1\t99\t60\t5M\t*\t0\t0\tAAAAA\tIIIII",              # covers [98,103) -> pos 100
+        "r3\t0\tc2\t3\t60\t4M\t*\t0\t0\tAAAA\tIIII",                 # covers [2,6) -> 4 bases
+        "r4\t4\t*\t0\t0\t*\t*\t0\t0\tAAAA\tIIII",
+    ]
+    assert stat_cov(bed, sam) == 1 + 1 + 4
