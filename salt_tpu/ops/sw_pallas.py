@@ -1,0 +1,139 @@
+"""Pallas TPU kernel for the batched score-only affine Smith-Waterman
+(drop-in for ops/sw_batch.py:sw_score_batch on TPU).
+
+Layout: 128 candidates ride the lane axis, read positions the sublane
+axis; the whole DP state for a tile lives in VMEM.  The wavefront runs
+over anti-diagonals d = i + j: every cell on a diagonal depends only on
+diagonals d-1 (left/up for the affine E/F) and d-2 (match), so each of
+the LP + WP - 1 steps is pure (LP, 128) vector work with no gathers —
+the per-lane reference character slice ref[d - i] is one dynamic
+contiguous read of the pre-reversed reference tile.
+
+Scores are textbook affine SW (see sw_batch.py for why that is a sound
+and in-practice-equal stand-in for the vendored SSW's scores):
+  E(i,j) = max(E(i,j-1) - ge, H(i,j-1) - go)      [gap consuming ref]
+  F(i,j) = max(F(i-1,j) - ge, H(i-1,j) - go)      [gap consuming read]
+  H(i,j) = max(0, H(i-1,j-1) + s(i,j), E, F)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LANES = 128
+NEG = -(2**20)  # plain int: jnp scalars would be captured consts in the kernel
+
+
+def _sw_tile_kernel(revref_ref, reads_ref, reflen_ref, out_ref, *,
+                    LP: int, WP: int, L: int, snp_mode: bool,
+                    go: int, ge: int):
+    reads = reads_ref[...]                      # (LP, LANES) int32
+    reflen = reflen_ref[...]                    # (1, LANES) int32
+    ii = jax.lax.broadcasted_iota(jnp.int32, (LP, LANES), 0)
+
+    goc = jnp.int32(go)
+    gec = jnp.int32(ge)
+
+    def score(r):
+        if snp_mode:
+            r_ok = (r != 0) & ((r & (r - 1)) == 0)
+            hit = r_ok & ((r & reads) != 0)
+            return jnp.where(hit, jnp.int32(1), jnp.int32(-3))
+        any_n = (r >= 4) | (reads >= 4)
+        eq = r == reads
+        return jnp.where(
+            any_n, jnp.int32(-1),
+            jnp.where(eq, jnp.int32(1), jnp.int32(-3)),
+        )
+
+    def shift_down(x, fill):
+        top = jnp.full((1, LANES), fill, jnp.int32)
+        return jnp.concatenate([top, x[:-1]], axis=0)
+
+    negc = jnp.int32(NEG)
+    zero = jnp.zeros((LP, LANES), jnp.int32)
+    neg = jnp.full((LP, LANES), NEG, jnp.int32)
+
+    def step(d, carry):
+        h1, h2, e1, f1, best = carry            # diag d-1, d-2 state
+        off = WP + LP - 1 - d
+        ref_d = jax.lax.dynamic_slice(
+            revref_ref[...], (off, 0), (LP, LANES)
+        )
+        s = score(ref_d)
+        e = jnp.maximum(e1 - gec, h1 - goc)
+        h1s = shift_down(h1, 0)
+        f1s = shift_down(f1, negc)
+        f = jnp.maximum(f1s - gec, h1s - goc)
+        h2s = shift_down(h2, 0)
+        h = jnp.maximum(jnp.maximum(h2s + s, jnp.maximum(e, f)),
+                        jnp.int32(0))
+        valid = (ii < L) & (ii <= d) & (ii >= d - reflen + 1)
+        h = jnp.where(valid, h, 0)
+        e = jnp.where(valid, e, negc)
+        f = jnp.where(valid, f, negc)
+        best = jnp.maximum(best, jnp.max(h, axis=0, keepdims=True))
+        return (h, h1, e, f, best)
+
+    best0 = jnp.zeros((1, LANES), jnp.int32)
+    _, _, _, _, best = jax.lax.fori_loop(
+        0, LP + WP - 1, step, (zero, zero, neg, neg, best0)
+    )
+    out_ref[...] = jnp.broadcast_to(best, (8, LANES))
+
+
+@partial(jax.jit, static_argnames=("snp_mode", "gap_open", "gap_extend",
+                                   "interpret"))
+def sw_score_batch_pallas(
+    refs: jnp.ndarray,      # (B, W) int32 window chars (zero-padded)
+    reads: jnp.ndarray,     # (B, L) int32
+    ref_len: jnp.ndarray,   # (B,) int32
+    snp_mode: bool = True,
+    gap_open: int = 3,
+    gap_extend: int = 1,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, W = refs.shape
+    L = reads.shape[1]
+    LP = ((L + 7) // 8) * 8
+    WP = ((W + 7) // 8) * 8
+    NB = ((B + LANES - 1) // LANES) * LANES
+    padB = NB - B
+
+    # reversed, candidate-major reference tile: revref[y, b] =
+    # refpad[WP + 2LP - 1 - y] where refpad[x] = ref[x - LP]
+    refs_t = jnp.pad(refs.astype(jnp.int32), ((0, padB), (0, WP - W))).T
+    revref = jnp.pad(refs_t[::-1], ((LP, LP), (0, 0)))   # (WP+2LP, NB)
+    reads_t = jnp.pad(
+        reads.astype(jnp.int32), ((0, padB), (0, LP - L))
+    ).T                                                   # (LP, NB)
+    reflen = jnp.pad(ref_len.astype(jnp.int32), (0, padB))[None, :]
+
+    grid = (NB // LANES,)
+    out = pl.pallas_call(
+        partial(_sw_tile_kernel, LP=LP, WP=WP, L=L, snp_mode=snp_mode,
+                go=gap_open, ge=gap_extend),
+        out_shape=jax.ShapeDtypeStruct((8, NB), jnp.int32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((WP + 2 * LP, LANES), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((LP, LANES), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, LANES), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((8, LANES), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(revref, reads_t, reflen)
+    return out[0, :B]

@@ -57,6 +57,18 @@ def part_name(out_dir: str, batch_idx: int) -> str:
     return os.path.join(out_dir, f"part_{batch_idx:08d}.sam")
 
 
+def _write_part(out_dir: str, idx: int, lines) -> None:
+    """Crash-safe part write: .tmp then atomic rename, so a part file's
+    existence certifies its completeness (checkpoint/resume unit)."""
+    final = part_name(out_dir, idx)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
+        for line in lines:
+            fh.write(line)
+            fh.write("\n")
+    os.replace(tmp, final)
+
+
 def align_file_sharded(
     aligner,
     fastq: str,
@@ -65,11 +77,17 @@ def align_file_sharded(
     n_processes: int,
     batch_size: int = BATCH,
     fastq2: Optional[str] = None,
+    resume: bool = True,
 ) -> List[int]:
     """Align this host's shard (batches where idx % n == pid); one part
     file per batch.  Works for SE (`align_records`) and PE
     (`align_pairs` when fastq2 given).  Returns the batch indices this
-    process produced."""
+    process produced.
+
+    With `resume` (default), batches whose part file already exists are
+    skipped — part files are written atomically, so an interrupted run
+    restarts from its last completed batch (the reference's streaming
+    batch design made restartable, SURVEY.md §5.3/§5.4)."""
     os.makedirs(out_dir, exist_ok=True)
     mine: List[int] = []
     n_done = 0
@@ -78,10 +96,11 @@ def align_file_sharded(
         for idx, batch in stream:
             if idx % n_processes != process_id:
                 continue
-            lines = aligner.align_records(batch)
-            with open(part_name(out_dir, idx), "w") as fh:
-                for line in lines:
-                    print(line, file=fh)
+            if resume and os.path.exists(part_name(out_dir, idx)):
+                log(f"part {idx} already complete, skipping (resume)")
+                mine.append(idx)
+                continue
+            _write_part(out_dir, idx, aligner.align_records(batch))
             mine.append(idx)
             n_done += len(batch)
             progress(n_done, f"reads (shard {process_id}/{n_processes})")
@@ -93,11 +112,11 @@ def align_file_sharded(
         for (idx, b1), (_, b2) in stream:
             if idx % n_processes != process_id:
                 continue
-            lines = aligner.align_pairs(b1, b2)
-            with open(part_name(out_dir, idx), "w") as fh:
-                for line in lines:
-                    print(line, file=fh, end="")
-                    print(file=fh)
+            if resume and os.path.exists(part_name(out_dir, idx)):
+                log(f"part {idx} already complete, skipping (resume)")
+                mine.append(idx)
+                continue
+            _write_part(out_dir, idx, aligner.align_pairs(b1, b2))
             mine.append(idx)
             n_done += len(b1)
             progress(n_done, f"pairs (shard {process_id}/{n_processes})")

