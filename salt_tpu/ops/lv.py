@@ -33,13 +33,19 @@ def lv_distance_batch(
     active: jnp.ndarray,   # bool  (N,)
     seq: jnp.ndarray,      # (N, L) read codes for the right strand
     k: int,
+    window_pad: int = GAP_WINDOW_PAD,
+    pat_precoded: bool = False,
 ) -> jnp.ndarray:
     """Edit distances (int32); inactive or unalignable -> BIG (255).
 
-    Text window length is L + GAP_WINDOW_PAD (ed_diff, editdistance.c:373).
+    Text window length is L + window_pad (the aligner's gapped check
+    uses GAP_WINDOW_PAD, ed_diff editdistance.c:373; polish scores
+    windows of exactly the read length, window_pad=0).  With
+    `pat_precoded` the rows of `seq` are already AND-match codes
+    (e.g. polish's equality bit encoding) instead of 0..4 base codes.
     """
     N, L = seq.shape
-    TL = L + GAP_WINDOW_PAD
+    TL = L + window_pad
     BIG = jnp.int32(255)
     k = min(LV_MAX_K - 1, k)
     D = 2 * k + 1  # diagonals -k..k
@@ -48,7 +54,10 @@ def lv_distance_batch(
     tidx = base[:, None] + jnp.arange(TL, dtype=jnp.int32)
     tidx = jnp.clip(tidx, 0, mixref.shape[0] - 1)
     text = mixref[tidx]                                   # (N, TL) nibbles
-    pat = jnp.array(NT2BIT_NP)[jnp.clip(seq, 0, 4)]       # (N, L) one-hot
+    if pat_precoded:
+        pat = seq.astype(jnp.uint8)
+    else:
+        pat = jnp.array(NT2BIT_NP)[jnp.clip(seq, 0, 4)]   # (N, L) one-hot
 
     # padded views: pattern index 0..L (P[L] = 0), text index 0..TL+2k
     patp = jnp.pad(pat, ((0, 0), (0, 1)))                 # (N, L+1)

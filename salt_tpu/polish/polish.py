@@ -20,6 +20,7 @@ preserved:
 from __future__ import annotations
 
 import sys
+from functools import partial
 from typing import List, Optional
 
 import numpy as np
@@ -95,6 +96,7 @@ class Polisher:
         self.tid = {c.name: i for i, c in enumerate(index.contigs)}
         self.offsets = [c.offset for c in index.contigs]
         self.pac = index.pac
+        self._eq_pac = None  # lazy equality-encoded pac on device
 
     def _refseq(self, offset: int, l: int) -> np.ndarray:
         l_pac = self.index.l_pac
@@ -103,12 +105,12 @@ class Polisher:
         end = min(offset + l, l_pac)
         return self.pac[offset:end]
 
-    def _score_hits(self, sam: SamRec):
+    def _prep_hits(self, sam: SamRec):
+        """Global offsets + sort + rm_repeat_hits (polish.c:125-142)."""
         for s in (0, 1):
             for h in sam.hits[s]:
                 h[2] = self.offsets[self.tid[h[0]]] + h[1] - 1
             sam.hits[s].sort(key=lambda h: h[2])
-            # rm_repeat_hits
             dedup = []
             last = None
             for h in sam.hits[s]:
@@ -116,6 +118,10 @@ class Polisher:
                     dedup.append(h)
                     last = h[2]
             sam.hits[s][:] = dedup
+
+    def _score_hits(self, sam: SamRec):
+        self._prep_hits(sam)
+        for s in (0, 1):
             query = sam.nst_seq if s == 0 else sam.nst_rseq
             for h in sam.hits[s]:
                 ref = self._refseq(h[2], sam.l_seq)
@@ -128,11 +134,56 @@ class Polisher:
                     # LV over plain codes: byte-equality == AND-match only
                     # for one-hot codes; polish compares raw 0..3 codes, so
                     # encode one-hot before the shared LV kernel
-                    refb = np.zeros((sam.l_seq + 15) // 8 * 8, np.uint8)
-                    refb[: len(ref)] = ref
                     q = query[: sam.l_seq]
-                    d = _lv_plain(refb[: len(ref)], q, MAX_DISTANCE)
+                    d = _lv_plain(ref, q, MAX_DISTANCE)
                     h[3] = UNMAPPED_SCORE if d == -1 else -d
+
+    def score_hits_batched(self, sams):
+        """Re-score every hit of a chunk of records in one vectorized
+        LV call (the device path of polish.c:503-520's per-hit loop).
+        Hits whose window is truncated by the reference end, and all
+        SW-mode scoring, fall back to the per-hit host path."""
+        if self.use_sw:
+            for sam in sams:
+                self._score_hits(sam)
+            return
+        import jax.numpy as jnp
+
+        from ..ops.lv import lv_distance_batch
+
+        if self._eq_pac is None:
+            self._eq_pac = jnp.asarray(_EQ_ENCODE[self.pac])
+        l_pac = self.index.l_pac
+        by_len: dict = {}
+        for sam in sams:
+            self._prep_hits(sam)
+            for s in (0, 1):
+                query = sam.nst_seq if s == 0 else sam.nst_rseq
+                for h in sam.hits[s]:
+                    if h[2] + sam.l_seq <= l_pac:
+                        by_len.setdefault(sam.l_seq, []).append(
+                            (h, query[: sam.l_seq])
+                        )
+                    else:  # truncated window: host path
+                        ref = self._refseq(h[2], sam.l_seq)
+                        d = _lv_plain(ref, query[: sam.l_seq], MAX_DISTANCE)
+                        h[3] = UNMAPPED_SCORE if d == -1 else -d
+        batch_fn = _lv_batch_jit()
+        for L, items in by_len.items():
+            B = len(items)
+            BP = max(256, 1 << (B - 1).bit_length())  # pad: stable shapes
+            pos = np.zeros(BP, np.int32)
+            pos[:B] = [h[2] for h, _q in items]
+            active = np.zeros(BP, bool)
+            active[:B] = True
+            pats = np.zeros((BP, L), np.int32)
+            pats[:B] = np.stack([_EQ_ENCODE[q] for _h, q in items])
+            d = np.asarray(batch_fn(
+                self._eq_pac, jnp.asarray(pos), jnp.asarray(active),
+                jnp.asarray(pats),
+            ))
+            for (h, _q), di in zip(items, d[:B].tolist()):
+                h[3] = UNMAPPED_SCORE if di >= 255 else -di
 
     def _gen_cigar(self, sam: SamRec):
         s, it = sam.strand, sam.primary
@@ -209,111 +260,116 @@ class Polisher:
                 line += q[::-1]
         out.write(line + "\n")
 
+    CHUNK = 4096
+
     def polish_se(self, sam_lines, out):
-        for line in sam_lines:
-            sam = SamRec(line)
-            self._score_hits(sam)
-            best0 = best1 = UNMAPPED_SCORE
-            for s in (0, 1):
-                for j, h in enumerate(sam.hits[s]):
-                    if h[3] == UNMAPPED_SCORE:
-                        continue
-                    if h[3] > best1:
-                        best1 = h[3]
-                        if best1 > best0:
-                            best0, best1 = best1, best0
-                            sam.strand, sam.primary = s, j
-            sam.b0, sam.b1 = best0, best1
-            if sam.strand != -1:
-                self._gen_cigar(sam)
-            flag = 0x40
-            if sam.strand == 1:
-                flag |= 0x10
-            if sam.strand == -1:
-                flag |= 0x4
-            self._emit(sam, flag, None, 0, out)
+        for c0 in range(0, len(sam_lines), self.CHUNK):
+            sams = [SamRec(l) for l in sam_lines[c0 : c0 + self.CHUNK]]
+            self.score_hits_batched(sams)
+            for sam in sams:
+                self._polish_se_one(sam, out)
+
+    def _polish_se_one(self, sam: SamRec, out):
+        best0 = best1 = UNMAPPED_SCORE
+        for s in (0, 1):
+            for j, h in enumerate(sam.hits[s]):
+                if h[3] == UNMAPPED_SCORE:
+                    continue
+                if h[3] > best1:
+                    best1 = h[3]
+                    if best1 > best0:
+                        best0, best1 = best1, best0
+                        sam.strand, sam.primary = s, j
+        sam.b0, sam.b1 = best0, best1
+        if sam.strand != -1:
+            self._gen_cigar(sam)
+        flag = 0x40
+        if sam.strand == 1:
+            flag |= 0x10
+        if sam.strand == -1:
+            flag |= 0x4
+        self._emit(sam, flag, None, 0, out)
 
     def polish_pe(self, sam_lines, out):
-        it = iter(sam_lines)
-        for l0 in it:
-            try:
-                l1 = next(it)
-            except StopIteration:
-                break
-            s0, s1 = SamRec(l0), SamRec(l1)
-            self._score_hits(s0)
-            self._score_hits(s1)
-            npp0 = _pairing(s0.hits[0], s1.hits[1])
-            npp1 = _pairing(s1.hits[0], s0.hits[1])
-            proper = (npp0 + npp1) != 0
-            if not proper:
-                for sam in (s0, s1):
-                    best0 = best1 = UNMAPPED_SCORE
-                    for s in (0, 1):
-                        for j, h in enumerate(sam.hits[s]):
-                            if h[3] == UNMAPPED_SCORE:
-                                continue
-                            if h[3] > best1:
-                                best1 = h[3]
-                                if best1 > best0:
-                                    best0, best1 = best1, best0
-                                    sam.strand, sam.primary = s, j
-                    sam.b0, sam.b1 = best0, best1
-            else:
+        n = len(sam_lines) // 2 * 2
+        for c0 in range(0, n, self.CHUNK):
+            sams = [SamRec(l) for l in sam_lines[c0 : c0 + self.CHUNK]]
+            self.score_hits_batched(sams)
+            for k in range(0, len(sams) - 1, 2):
+                self._polish_pe_one(sams[k], sams[k + 1], out)
+
+    def _polish_pe_one(self, s0: SamRec, s1: SamRec, out):
+        npp0 = _pairing(s0.hits[0], s1.hits[1])
+        npp1 = _pairing(s1.hits[0], s0.hits[1])
+        proper = (npp0 + npp1) != 0
+        if not proper:
+            for sam in (s0, s1):
                 best0 = best1 = UNMAPPED_SCORE
-                st0 = st1 = -1
-                it0 = it1 = -1
-                for i in range(npp0):
-                    sc = s0.hits[0][i][3] + s1.hits[1][i][3]
-                    if sc == UNMAPPED_SCORE:
-                        continue
-                    if sc > best1:
-                        best1 = sc
-                        if best1 > best0:
-                            best0, best1 = best1, best0
-                            st0, st1 = 0, 1
-                            it0 = it1 = i
-                for i in range(npp1):
-                    sc = s0.hits[1][i][3] + s1.hits[0][i][3]
-                    if sc == UNMAPPED_SCORE:
-                        continue
-                    if sc > best1:
-                        best1 = sc
-                        if best1 > best0:
-                            best0, best1 = best1, best0
-                            st0, st1 = 1, 0
-                            it0 = it1 = i
-                s0.strand, s0.primary = st0, it0
-                s1.strand, s1.primary = st1, it1
-                s0.b0 = s1.b0 = best0
-                s0.b1 = s1.b1 = best1
-            if s0.strand != -1 and s0.primary != -1:
-                self._gen_cigar(s0)
-            if s1.strand != -1 and s1.primary != -1:
-                self._gen_cigar(s1)
-            pp = 0x2 if proper else 0
-            f0 = 0x1 | pp | 0x40
-            if s0.strand == 1:
-                f0 |= 0x10
-            if s1.strand == 1:
-                f0 |= 0x20
-            if s0.strand == -1:
-                f0 |= 0x4
-            if s1.strand == -1:
-                f0 |= 0x8
-            f1 = 0x1 | pp | 0x80
-            # reference bug: mate-unmapped sets 0x4 again (polish.c:388-389)
-            if s1.strand == -1:
-                f1 |= 0x4
-            if s0.strand == -1:
-                f1 |= 0x4
-            if s1.strand == 1:
-                f1 |= 0x10
-            if s0.strand == 1:
-                f1 |= 0x20
-            s1.name = s0.name  # polish prints sam0's name for both
-            self._emit(s0, f0, s1, 0, out)
-            self._emit(s1, f1, s0, 0, out)
+                for s in (0, 1):
+                    for j, h in enumerate(sam.hits[s]):
+                        if h[3] == UNMAPPED_SCORE:
+                            continue
+                        if h[3] > best1:
+                            best1 = h[3]
+                            if best1 > best0:
+                                best0, best1 = best1, best0
+                                sam.strand, sam.primary = s, j
+                sam.b0, sam.b1 = best0, best1
+        else:
+            best0 = best1 = UNMAPPED_SCORE
+            st0 = st1 = -1
+            it0 = it1 = -1
+            for i in range(npp0):
+                sc = s0.hits[0][i][3] + s1.hits[1][i][3]
+                if sc == UNMAPPED_SCORE:
+                    continue
+                if sc > best1:
+                    best1 = sc
+                    if best1 > best0:
+                        best0, best1 = best1, best0
+                        st0, st1 = 0, 1
+                        it0 = it1 = i
+            for i in range(npp1):
+                sc = s0.hits[1][i][3] + s1.hits[0][i][3]
+                if sc == UNMAPPED_SCORE:
+                    continue
+                if sc > best1:
+                    best1 = sc
+                    if best1 > best0:
+                        best0, best1 = best1, best0
+                        st0, st1 = 1, 0
+                        it0 = it1 = i
+            s0.strand, s0.primary = st0, it0
+            s1.strand, s1.primary = st1, it1
+            s0.b0 = s1.b0 = best0
+            s0.b1 = s1.b1 = best1
+        if s0.strand != -1 and s0.primary != -1:
+            self._gen_cigar(s0)
+        if s1.strand != -1 and s1.primary != -1:
+            self._gen_cigar(s1)
+        pp = 0x2 if proper else 0
+        f0 = 0x1 | pp | 0x40
+        if s0.strand == 1:
+            f0 |= 0x10
+        if s1.strand == 1:
+            f0 |= 0x20
+        if s0.strand == -1:
+            f0 |= 0x4
+        if s1.strand == -1:
+            f0 |= 0x8
+        f1 = 0x1 | pp | 0x80
+        # reference bug: mate-unmapped sets 0x4 again (polish.c:388-389)
+        if s1.strand == -1:
+            f1 |= 0x4
+        if s0.strand == -1:
+            f1 |= 0x4
+        if s1.strand == 1:
+            f1 |= 0x10
+        if s0.strand == 1:
+            f1 |= 0x20
+        s1.name = s0.name  # polish prints sam0's name for both
+        self._emit(s0, f0, s1, 0, out)
+        self._emit(s1, f1, s0, 0, out)
 
 
 def _pairing(fwd, bwd) -> int:
@@ -347,6 +403,24 @@ _EQ_ENCODE = np.zeros(256, dtype=np.uint8)
 for _v, _b in ((0, 1), (1, 2), (2, 4), (3, 8), (4, 16), (255, 32)):
     _EQ_ENCODE[_v] = _b
 _EQ_ENCODE[5:255] = 64  # any other stray byte value: self-match only
+
+
+_LV_BATCH_FN = None
+
+
+def _lv_batch_jit():
+    """Process-wide jitted batch scorer (stable jit cache across chunks)."""
+    global _LV_BATCH_FN
+    if _LV_BATCH_FN is None:
+        import jax
+
+        from ..ops.lv import lv_distance_batch
+
+        _LV_BATCH_FN = jax.jit(partial(
+            lv_distance_batch, k=MAX_DISTANCE, window_pad=0,
+            pat_precoded=True,
+        ))
+    return _LV_BATCH_FN
 
 
 def _lv_plain(ref: np.ndarray, query: np.ndarray, k: int) -> int:
