@@ -84,6 +84,11 @@ class SEOptions:
     extend_algo: str = "lv"      # "lv" | "sw"
     sw_thres_score: int = 50     # aln_opt->thres_score (aln.h:144)
     sw_filterd: int = 20         # aln_opt->filterd (aln.h:142)
+    # batched device SW pre-filter (see pe_engine.PEOptions / sw_batch.py):
+    # candidates whose textbook score cannot win are skipped before the
+    # exact host SSW.  "auto" = on for TPU backends with enough work.
+    device_sw: str = "auto"      # "auto" | "on" | "off"
+    device_sw_min_batch: int = 32
 
     def full_cap(self) -> int:
         c = self.max_locate + self.cap_margin
@@ -314,7 +319,10 @@ class SEAligner:
 
     def _sw_extend(self, rows, out, full_loci, L, fwd, rev, sw_res):
         """Host SW extension over each gap-read's deduped loci
-        (alnse_check_sw/sw_snp semantics; native SSW kernel)."""
+        (alnse_check_sw/sw_snp semantics; native SSW kernel), with an
+        optional batched device pre-filter: a locus whose textbook SW
+        score is below the current best cannot displace it (SSW's score
+        never exceeds the textbook score, ops/sw_batch.py)."""
         from ..constants import SW_GAP_EXTEND, SW_GAP_OPEN
         from ..ops.lv import NT2BIT_NP
         from ..ops.ssw import SCORE_MAT16, ssw_align
@@ -330,6 +338,9 @@ class SEAligner:
             ))
         codes_f_rows = np.asarray(fwd[sel]).astype(np.uint8)
         codes_r_rows = np.asarray(rev[sel]).astype(np.uint8)
+
+        # phase A: per read, the deduped in-range loci in scan order
+        per_read = []   # (ri, codes_f, codes_r, [(strand, pos), ...])
         for i, r in enumerate(rows):
             ri = int(r)
             if ri in full_loci:
@@ -342,13 +353,8 @@ class SEAligner:
                     (loci_h[0][0][i], loci_h[0][1][i]),
                     (loci_h[1][0][i], loci_h[1][1][i]),
                 ]
-            best = None
-            b0 = -1
-            codes_f = codes_f_rows[i]
-            codes_r = codes_r_rows[i]
+            cand = []
             for strand, (ps, ks) in enumerate(strands):
-                seq = codes_r if strand else codes_f
-                read = NT2BIT_NP[np.minimum(seq, 4)].astype(np.int8)
                 prev = None
                 for pos, pushed in zip(ps.tolist(), ks.tolist()):
                     if not pushed:
@@ -357,13 +363,26 @@ class SEAligner:
                     if pos == prev or pos + L + 4 >= len(mix):
                         continue
                     prev = pos
-                    window = mix[pos : pos + L + 5].astype(np.int8)
-                    rr = ssw_align(read, window, SCORE_MAT16, SW_GAP_OPEN,
-                                   SW_GAP_EXTEND, L // 2)
-                    if (rr.score1 >= b0 and
-                            rr.read_end1 - rr.read_begin1 + 1 >= o.sw_filterd):
-                        b0 = rr.score1
-                        best = (rr, pos, strand)
+                    cand.append((strand, pos))
+            per_read.append((ri, codes_f_rows[i], codes_r_rows[i], cand))
+
+        pre = self._sw_extend_prefilter(per_read, L)
+
+        for pi, (ri, codes_f, codes_r, cand) in enumerate(per_read):
+            best = None
+            b0 = -1
+            reads = (NT2BIT_NP[np.minimum(codes_f, 4)].astype(np.int8),
+                     NT2BIT_NP[np.minimum(codes_r, 4)].astype(np.int8))
+            for k, (strand, pos) in enumerate(cand):
+                if pre is not None and pre[pi][k] < max(b0, 0):
+                    continue  # cannot reach the accept threshold
+                window = mix[pos : pos + L + 5].astype(np.int8)
+                rr = ssw_align(reads[strand], window, SCORE_MAT16,
+                               SW_GAP_OPEN, SW_GAP_EXTEND, L // 2)
+                if (rr.score1 >= b0 and
+                        rr.read_end1 - rr.read_begin1 + 1 >= o.sw_filterd):
+                    b0 = rr.score1
+                    best = (rr, pos, strand)
             if best is not None:
                 rr, pos, strand = best
                 cig = ""
@@ -381,6 +400,51 @@ class SEAligner:
                     "cigar": cig,
                     "seq_start": rr.read_begin1,
                 }
+
+    def _sw_extend_prefilter(self, per_read, L):
+        """Textbook SW scores for every (read, locus) SW-extension
+        candidate, batched on device.  Returns [scores per read] or
+        None when disabled."""
+        o = self.opts
+        if o.device_sw == "off":
+            return None
+        n_items = sum(len(c[3]) for c in per_read)
+        if n_items == 0:
+            return None
+        if o.device_sw == "auto" and (
+            jax.default_backend() != "tpu" or n_items < o.device_sw_min_batch
+        ):
+            return None
+
+        from ..constants import SW_GAP_EXTEND, SW_GAP_OPEN
+        from ..ops.sw_batch import sw_score_batch
+        from ..ops.sw_pallas import sw_score_batch_pallas
+
+        mix = self.index.mixref
+        W = L + 5
+        refs = np.zeros((n_items, W), np.int32)
+        reads = np.zeros((n_items, L), np.int32)
+        lens = np.full(n_items, W, np.int32)
+        k = 0
+        for ri, codes_f, codes_r, cand in per_read:
+            oh = (NT2BIT_NP[np.minimum(codes_f, 4)],
+                  NT2BIT_NP[np.minimum(codes_r, 4)])
+            for strand, pos in cand:
+                refs[k] = mix[pos : pos + W]
+                reads[k] = oh[strand]
+                k += 1
+        fn = (sw_score_batch_pallas if jax.default_backend() == "tpu"
+              else sw_score_batch)
+        sc = np.asarray(fn(
+            jnp.asarray(refs), jnp.asarray(reads), jnp.asarray(lens),
+            snp_mode=True, gap_open=SW_GAP_OPEN, gap_extend=SW_GAP_EXTEND,
+        ))
+        out = []
+        k = 0
+        for _ri, _cf, _cr, cand in per_read:
+            out.append(sc[k : k + len(cand)].tolist())
+            k += len(cand)
+        return out
 
     # ---------------- per-read finalization ----------------
 

@@ -48,13 +48,12 @@ class PEOptions(SEOptions):
     min_tlen: int = DEFAULT_MIN_TLEN
     max_tlen: int = DEFAULT_MAX_TLEN
     use_sw_singleton: bool = True  # pairing_singleton always runs (alnpe.c:513)
-    # batched device SW pre-filter for the rescue windows: a rescue
-    # candidate whose textbook-affine score is below thres_score cannot
-    # pass SSW's threshold either (sw_batch.py), so only survivors run
-    # the exact host SSW.  "auto" = on when a TPU is the default backend
-    # and the batch has enough candidates to amortize the dispatch.
-    device_sw: str = "auto"        # "auto" | "on" | "off"
-    device_sw_min_batch: int = 32
+    # device_sw / device_sw_min_batch (the batched rescue pre-filter)
+    # are inherited from SEOptions: a rescue candidate whose
+    # textbook-affine score is below thres_score cannot pass SSW's
+    # threshold either (sw_batch.py), so only survivors run the exact
+    # host SSW.  "auto" = on when a TPU is the default backend and the
+    # batch has enough candidates to amortize the dispatch.
 
 
 class _End:

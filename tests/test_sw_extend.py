@@ -63,3 +63,30 @@ def test_sw_mode_ungapped_reads_unaffected(tiny):
     rec = _aln(idx, read)
     f = rec.split("\t")
     assert f[3] == "701" and f[5] == "100M"
+
+
+def test_sw_mode_device_prefilter_identical(tiny):
+    """-X 1 output identical with the device SW pre-filter forced on."""
+    idx, seq = tiny
+    rng = np.random.default_rng(12)
+    reads = []
+    for i in range(24):
+        start = int(rng.integers(0, 1800))
+        r = list(seq[start : start + 100])
+        # gap or heavy mutation so the ungapped pass fails -> SW path
+        if i % 2:
+            del r[40:43]
+            r += list(seq[start + 100 : start + 103])
+        else:
+            for p in (10, 30, 50, 70):
+                r[p] = "ACGT"[("ACGT".index(r[p]) + 1) % 4]
+        reads.append("".join(r))
+    recs = [SeqRecord(name=f"r{i}", comment=None, seq=s, qual="I" * len(s))
+            for i, s in enumerate(reads)]
+    outs = {}
+    for mode in ("off", "on"):
+        opts = SEOptions(l_overlap=1, max_locate=100, batch_size=32,
+                         extend_algo="sw", print_nm_md=True, device_sw=mode,
+                         device_sw_min_batch=1)
+        outs[mode] = SEAligner(idx, opts).align_records(recs)
+    assert outs["off"] == outs["on"]
