@@ -64,6 +64,9 @@ def main(argv=None):
     al.add_argument("-E", "--gapex", type=int, default=None,
                     help=argparse.SUPPRESS)
     al.add_argument("--batch-size", type=int, default=4096)
+    al.add_argument("--sa-mode", choices=["full", "sampled"], default="full",
+                    help="sampled: ~12x smaller locate tables (whole-human-"
+                         "genome index on one chip), bounded LF-walk locate")
     al.add_argument("--part-dir", default=None,
                     help="multi-host mode: write per-batch SAM parts here")
     al.add_argument("--shard-batch", type=int, default=100000,
@@ -149,6 +152,7 @@ def main(argv=None):
                 print_nm_md=args.md,
                 rg_id=args.group,
                 batch_size=args.batch_size,
+                sa_mode=args.sa_mode,
             )
             al = PEAligner(idx, opts)
             if args.part_dir:
@@ -172,6 +176,7 @@ def main(argv=None):
                 rg_id=args.group,
                 batch_size=args.batch_size,
                 extend_algo="sw" if args.extend == 1 else "lv",
+                sa_mode=args.sa_mode,
             )
             al = SEAligner(idx, opts)
             if args.part_dir:

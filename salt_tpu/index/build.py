@@ -81,6 +81,12 @@ class SaltIndex:
     r_lkt_sp: np.ndarray = None   # uint32[4^12]
     r_lkt_ep: np.ndarray = None   # uint32[4^12]
 
+    # sampled-SA locate support (device_index.build_sampled_sa): the
+    # coordinate base per '#' rank (coord = base + LF-walk steps) and
+    # the walk bound (longest local-pattern segment)
+    sharp_bases: Optional[np.ndarray] = None   # uint32 [n_sharp]
+    max_seg_len: int = 0
+
     # kept for debugging / tests
     r_text: Optional[np.ndarray] = None
 
@@ -434,6 +440,24 @@ def build_index_from_data(
     r_coord = pos2coord[rsa64]
     r_lkt_sp, r_lkt_ep = build_r_lkt(r_codes, rsa64)
 
+    # '#'-rank coordinate bases for the sampled-SA locate: within a
+    # segment the coordinate is affine in the text position, so
+    # coord(p) = pos2coord[sharp_pos + 1] - 1 + (p - sharp_pos).  '#'
+    # ranks form the contiguous rank interval [cumfreq[4]+1,
+    # cumfreq[5]+1) (the in-band sentinel is rank 0).
+    sharp_lo = int(r_cumfreq[4]) + 1
+    sharp_hi = int(r_cumfreq[5]) + 1
+    sp = rsa64[sharp_lo:sharp_hi]
+    nxt = np.minimum(sp + 1, r_text_len)
+    nxt_coord = pos2coord[nxt]
+    ok = (sp + 1 < r_text_len) & (nxt_coord != UINT32_MAX)
+    # unreachable bases (final '#', degenerate segments) get a value
+    # whose +steps stays far out of [0, l_pac] without wrapping small
+    sharp_bases = np.where(
+        ok, (nxt_coord.astype(np.int64) - 1) & 0xFFFFFFFF, 0x80000000
+    ).astype(np.uint32)
+    max_seg_len = max((seg.length for seg in segments), default=0)
+
     return SaltIndex(
         l_seed=l_seed,
         contigs=contigs,
@@ -452,5 +476,7 @@ def build_index_from_data(
         r_coord=r_coord,
         r_lkt_sp=r_lkt_sp,
         r_lkt_ep=r_lkt_ep,
+        sharp_bases=sharp_bases,
+        max_seg_len=max_seg_len,
         r_text=r_codes if keep_r_text else None,
     )

@@ -26,6 +26,7 @@ def save_index(idx: SaltIndex, prefix: str) -> None:
         "c_primary": idx.c_primary,
         "r_primary": idx.r_primary,
         "r_text_len": idx.r_text_len,
+        "max_seg_len": idx.max_seg_len,
         "contigs": [
             {
                 "name": c.name,
@@ -52,6 +53,8 @@ def save_index(idx: SaltIndex, prefix: str) -> None:
         r_coord=idx.r_coord,
         r_lkt_sp=idx.r_lkt_sp,
         r_lkt_ep=idx.r_lkt_ep,
+        sharp_bases=(idx.sharp_bases if idx.sharp_bases is not None
+                     else np.zeros(0, np.uint32)),
     )
 
 
@@ -89,4 +92,8 @@ def load_index(prefix: str) -> SaltIndex:
         r_coord=z["r_coord"],
         r_lkt_sp=z["r_lkt_sp"] if "r_lkt_sp" in z else None,
         r_lkt_ep=z["r_lkt_ep"] if "r_lkt_ep" in z else None,
+        sharp_bases=(z["sharp_bases"]
+                     if "sharp_bases" in z and len(z["sharp_bases"])
+                     else None),
+        max_seg_len=m.get("max_seg_len", 0),
     )

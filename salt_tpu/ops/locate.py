@@ -33,6 +33,79 @@ class LocateOut(NamedTuple):
     overflow: jnp.ndarray  # bool (B,) candidate stream exceeded CAP slots
 
 
+def _get4(words: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """4-bit packed symbol at index k (8 per uint32 word)."""
+    w = words[jnp.clip(k >> 3, 0, words.shape[0] - 1)].astype(jnp.uint32)
+    return ((w >> ((k & 7).astype(jnp.uint32) * 4)) & 15).astype(jnp.int32)
+
+
+def resolve_sampled(sampled, ri_c, ri_r, rank, is_r, active):
+    """Rank -> coordinate via bounded LF walks against the sampled-SA
+    tables (pipeline/device_index.SampledSA): C lanes walk to a
+    text-position-sampled rank (<= intv-1 steps), R lanes to the
+    segment's leading '#' rank (<= max local-pattern length).  Exactly
+    reproduces the full-table values, including the csa[0] quirk and
+    UINT32_MAX at '#' positions."""
+    from .rank import rank_excl
+
+    s = sampled
+    n1c = ri_c.n
+    n1r = ri_r.n
+
+    def sel_row(k):
+        return s.c_sel[jnp.clip(k >> 5, 0, s.c_sel.shape[0] - 1)]
+
+    def c_done(k):
+        row = sel_row(k)
+        bit = (row[..., 1].astype(jnp.uint32) >> (k & 31).astype(jnp.uint32)) & 1
+        return bit == 1
+
+    def r_done(k):
+        return (k >= s.sharp_lo) & (k < s.sharp_hi)
+
+    k0 = jnp.clip(rank, 0, jnp.where(is_r, n1r - 1, n1c - 1))
+    done0 = ~active | jnp.where(is_r, r_done(k0), c_done(k0))
+    steps0 = jnp.zeros_like(k0)
+
+    def cond(st):
+        return jnp.any(~st[2])
+
+    def body(st):
+        k, steps, done = st
+        sym_c = _get4(s.c_syms, k)
+        sym_r = _get4(s.r_syms, k)
+        kc = ri_c.cfreq[jnp.clip(sym_c, 0, 5)] + rank_excl(
+            ri_c, jnp.clip(k, 0, n1c), jnp.clip(sym_c, 0, 4)) + 1
+        kr = ri_r.cfreq[jnp.clip(sym_r, 0, 6)] + rank_excl(
+            ri_r, jnp.clip(k, 0, n1r), jnp.clip(sym_r, 0, 5)) + 1
+        kn = jnp.clip(jnp.where(is_r, kr, kc), 0,
+                      jnp.where(is_r, n1r - 1, n1c - 1))
+        k = jnp.where(done, k, kn)
+        steps = steps + (~done).astype(jnp.int32)
+        done = done | jnp.where(is_r, r_done(k), c_done(k))
+        return k, steps, done
+
+    k, steps, _ = jax.lax.while_loop(cond, body, (k0, steps0, done0))
+
+    row = sel_row(k)
+    kl = (k & 31).astype(jnp.uint32)
+    mask = jnp.where(kl > 0, (jnp.uint32(1) << kl) - jnp.uint32(1),
+                     jnp.uint32(0))
+    slot_c = row[..., 0] + jax.lax.population_count(
+        row[..., 1].astype(jnp.uint32) & mask).astype(jnp.int32)
+    val_c = s.c_samples[jnp.clip(slot_c, 0, s.c_samples.shape[0] - 1)]
+    val_c = val_c + steps.astype(jnp.uint32)
+
+    slot_r = jnp.clip(k - s.sharp_lo, 0, s.sharp_base.shape[0] - 1)
+    base_r = s.sharp_base[slot_r]
+    val_r = jnp.where(
+        steps == 0,
+        jnp.uint32(UINT32_MAX),  # candidate ON a '#': full table says so
+        base_r + steps.astype(jnp.uint32),
+    )
+    return jnp.where(is_r, val_r, val_c)
+
+
 def locate(
     c_seeds: Seeds,
     r_seeds: Seeds,
@@ -43,6 +116,9 @@ def locate(
     max_locate: int,
     cap: int,
     pe_mode: bool = False,
+    sampled=None,           # SampledSA: LF-walk locate instead of sa_cat
+    ri_c=None,
+    ri_r=None,
 ) -> Loci:
     """Returns located candidate positions per read, sorted ascending.
 
@@ -147,9 +223,13 @@ def locate(
     slot_is_r = (rows[..., 1] & 1).astype(bool)
     offset = (rows[..., 1] >> 1) & jnp.int32(0x7FF)
 
-    rank_c = jnp.clip(rank, 0, c_sa_len - 1)
-    rank_r = jnp.clip(rank, 0, sa_cat.shape[0] - c_sa_len - 1) + c_sa_len
-    sa_val = sa_cat[jnp.where(slot_is_r, rank_r, rank_c)]
+    if sampled is not None:
+        sa_val = resolve_sampled(sampled, ri_c, ri_r, rank, slot_is_r,
+                                 in_range)
+    else:
+        rank_c = jnp.clip(rank, 0, c_sa_len - 1)
+        rank_r = jnp.clip(rank, 0, sa_cat.shape[0] - c_sa_len - 1) + c_sa_len
+        sa_val = sa_cat[jnp.where(slot_is_r, rank_r, rank_c)]
     pos = (sa_val.astype(jnp.uint32) - offset.astype(jnp.uint32))
 
     end_u = pos + jnp.uint32(l_seq)  # uint32 wraparound, as in C

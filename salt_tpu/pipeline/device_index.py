@@ -63,21 +63,141 @@ def pack_nibbles(mixref: np.ndarray) -> np.ndarray:
     return words
 
 
-def to_device_index(idx: SaltIndex) -> DeviceIndex:
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class SampledSA:
+    """Memory-lean locate tables (sa_mode="sampled"): instead of the
+    full per-rank coordinate table (4 bytes/rank over genome + pattern
+    text — the dominant HBM cost at GRCh38 scale), store
+
+      * C part: positions sampled by TEXT position (pos % intv == 0),
+        compacted in rank order, plus a fused (count, bitword) select
+        structure over ranks — a locate LF-walks at most intv-1 steps
+        (text sampling bounds the walk, unlike BWA's rank sampling)
+      * R part: coordinates only at '#' ranks.  All '#'-starting
+        suffixes sort into one contiguous rank interval, so the slot is
+        k - sharp_lo with no select structure; a locate LF-walks to the
+        segment's leading '#' (bounded by the longest local pattern)
+      * 4-bit packed BWT symbol words for both parts (walk steps read
+        the symbol to apply LF)
+
+    HBM cost ~ n/3 bytes instead of 4n — GRCh38 + snp144Common fits a
+    single 16GB chip.
+    """
+
+    c_sel: jnp.ndarray       # int32 [Wc, 2] fused (excl-count, bitword)
+    c_samples: jnp.ndarray   # uint32 [n_sampled] positions in rank order
+    c_syms: jnp.ndarray      # uint32 [ceil((n+1)/8)] 4-bit C BWT symbols
+    r_syms: jnp.ndarray      # uint32 [ceil((T+1)/8)] 4-bit R BWT symbols
+    sharp_base: jnp.ndarray  # uint32 [n_sharp] coord base per '#' rank
+    sharp_lo: int            # first '#' rank (r_cumfreq[4] + 1)
+    sharp_hi: int            # one past last '#' rank
+    intv: int
+    max_r_walk: int          # longest local-pattern segment + 1
+
+    def tree_flatten(self):
+        return (
+            (self.c_sel, self.c_samples, self.c_syms, self.r_syms,
+             self.sharp_base),
+            (self.sharp_lo, self.sharp_hi, self.intv, self.max_r_walk),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        c_sel, c_samples, c_syms, r_syms, sharp_base = children
+        return cls(c_sel=c_sel, c_samples=c_samples, c_syms=c_syms,
+                   r_syms=r_syms, sharp_base=sharp_base, sharp_lo=aux[0],
+                   sharp_hi=aux[1], intv=aux[2], max_r_walk=aux[3])
+
+
+def _pack4(vals: np.ndarray) -> np.ndarray:
+    """uint8 symbols (< 16) -> uint32 words, 8 per word, little-endian."""
+    n = len(vals)
+    W = (n + 7) // 8 + 1
+    padded = np.zeros(W * 8, dtype=np.uint32)
+    padded[:n] = vals
+    words = np.zeros(W, dtype=np.uint32)
+    for j in range(8):
+        words |= padded[j::8] << np.uint32(4 * j)
+    return words
+
+
+def build_sampled_sa(idx: SaltIndex, intv: int = 8) -> SampledSA:
+    n1 = len(idx.csa)            # n + 1 ranks
+    csa_true = idx.csa.astype(np.int64).copy()
+    csa_true[0] = n1 - 1         # undo the sa[0] = 0xFFFFFFFF quirk
+    mask = (csa_true % intv) == 0
+    # fused select: excl count at each 32-rank word + the bit word
+    W = (n1 + 31) // 32 + 1
+    bits = np.zeros(W, dtype=np.uint32)
+    ranks = np.nonzero(mask)[0]
+    np.bitwise_or.at(bits, ranks >> 5, np.uint32(1) << (ranks & 31).astype(np.uint32))
+    per_word = np.bincount(ranks >> 5, minlength=W)
+    c_sel = np.zeros((W, 2), dtype=np.int32)
+    c_sel[1:, 0] = np.cumsum(per_word)[:-1]
+    c_sel[:, 1] = bits.view(np.int32)
+    # stored value keeps the rank-0 quirk byte-for-byte
+    c_samples = idx.csa[mask]
+
+    # R: '#' ranks are [cumfreq[4]+1, cumfreq[5]+1) in in-band-sentinel
+    # rank coords (the sentinel suffix is rank 0)
+    sharp_lo = int(idx.r_cumfreq[4]) + 1
+    sharp_hi = int(idx.r_cumfreq[5]) + 1
+    # base per '#' rank: coord(p) = pos2coord[sharp_pos + 1] - 1 + steps
+    # for p inside the following segment.  Derived from the full
+    # r_coord/pos2coord affinity; we reconstruct it from r_coord of the
+    # rank at text position sharp_pos + 1... which we don't have by
+    # rank.  Instead recompute from the host full table: r_coord holds
+    # pos2coord[rsa[k]], so we need rsa — kept implicitly: the builder
+    # stores sharp bases directly (see build.py sharp_bases).
+    if idx.sharp_bases is None:
+        raise ValueError("index missing sharp_bases; rebuild with current "
+                         "version for sa_mode='sampled'")
+    sharp_base = idx.sharp_bases
+    return SampledSA(
+        c_sel=jnp.asarray(c_sel),
+        c_samples=jnp.asarray(c_samples),
+        c_syms=jnp.asarray(_pack4(idx.cbwt)),
+        r_syms=jnp.asarray(_pack4(idx.rbwt)),
+        sharp_base=jnp.asarray(sharp_base),
+        sharp_lo=sharp_lo,
+        sharp_hi=sharp_hi,
+        intv=intv,
+        max_r_walk=int(idx.max_seg_len) + 1,
+    )
+
+
+def to_device_index(idx: SaltIndex, sa_mode: str = "full",
+                    sa_intv: int = 8):
+    """sa_mode="full": one-gather locate (fastest, 4B/rank HBM).
+    sa_mode="sampled": bounded LF-walk locate at ~n/3 bytes total —
+    whole-human-genome indexes fit a single chip.  Returns DeviceIndex
+    or (DeviceIndex, SampledSA)."""
     ri_c = build_rank_index(idx.cbwt, 5, np.append(idx.c_l2, 0), C_SENTINEL)
     ri_r = build_rank_index(idx.rbwt, 6, np.append(idx.r_cumfreq, 0), R_SENTINEL)
     if idx.r_lkt_sp is None:
         raise ValueError("index missing r_lkt tables; rebuild with current version")
-    return DeviceIndex(
+    if sa_mode == "sampled":
+        sampled = build_sampled_sa(idx, sa_intv)
+        sa_cat = jnp.zeros((2,), jnp.uint32)  # placeholder, unused
+        c_sa_len = 1
+    else:
+        sampled = None
+        sa_cat = jnp.asarray(np.concatenate([idx.csa, idx.r_coord]))
+        c_sa_len = len(idx.csa)
+    dix = DeviceIndex(
         ri_c=ri_c,
         ri_r=ri_r,
         lkt=jnp.asarray(idx.lkt),
         r_lkt_sp=jnp.asarray(idx.r_lkt_sp),
         r_lkt_ep=jnp.asarray(idx.r_lkt_ep),
-        sa_cat=jnp.asarray(np.concatenate([idx.csa, idx.r_coord])),
+        sa_cat=sa_cat,
         mixref=jnp.asarray(idx.mixref),
         mixref_words=jnp.asarray(pack_nibbles(idx.mixref)),
         l_pac=idx.l_pac,
         l_seed=idx.l_seed,
-        c_sa_len=len(idx.csa),
+        c_sa_len=c_sa_len,
     )
+    if sa_mode == "sampled":
+        return dix, sampled
+    return dix

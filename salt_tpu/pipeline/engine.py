@@ -82,6 +82,11 @@ class SEOptions:
     # undefined; this implements the evident intent: best SW locus wins,
     # SW cigar with soft clips, MAPQ from (score1, score2).
     extend_algo: str = "lv"      # "lv" | "sw"
+    # index residency: "full" = one-gather locate (4B/rank of HBM);
+    # "sampled" = bounded LF-walk locate at ~n/3 bytes total, fitting a
+    # whole-human-genome index on a single chip (device_index.SampledSA)
+    sa_mode: str = "full"
+    sa_intv: int = 8
     sw_thres_score: int = 50     # aln_opt->thres_score (aln.h:144)
     sw_filterd: int = 20         # aln_opt->filterd (aln.h:142)
     # batched device SW pre-filter (see pe_engine.PEOptions / sw_batch.py):
@@ -161,7 +166,13 @@ class SEAligner:
     def __init__(self, index: SaltIndex, opts: SEOptions = None):
         self.index = index
         self.opts = opts or SEOptions()
-        self.dix: DeviceIndex = to_device_index(index)
+        if self.opts.sa_mode == "sampled":
+            self.dix, self.sampled = to_device_index(
+                index, sa_mode="sampled", sa_intv=self.opts.sa_intv
+            )
+        else:
+            self.dix = to_device_index(index)
+            self.sampled = None
         self._offsets = np.array([c.offset for c in index.contigs])
 
     # ---------------- device dispatch ----------------
@@ -191,7 +202,7 @@ class SEAligner:
                 self.dix, fwd, rev,
                 l_overlap=o.l_overlap, max_seed=o.max_seed,
                 max_locate=o.max_locate, cap=o.cap(), u=o.verify_width,
-                k_hits=o.k_hits, pe_mode=o.pe_locate,
+                k_hits=o.k_hits, pe_mode=o.pe_locate, sampled=self.sampled,
             )
             packed_dev = _pack_ungapped(out.res, out.needs_gap, out.overflow)
         return fwd, rev, out, packed_dev
@@ -231,6 +242,7 @@ class SEAligner:
                         l_overlap=o.l_overlap, max_seed=o.max_seed,
                         max_locate=o.max_locate, cap=o.full_cap(),
                         u=o.full_cap(), k_hits=K, pe_mode=o.pe_locate,
+                        sampled=self.sampled,
                     )
                     fp = np.asarray(_pack_ungapped(
                         out_f.res, out_f.needs_gap, out_f.overflow))

@@ -87,7 +87,7 @@ def unpack_result(arr, k_hits: int):
 
 
 def _seed_and_locate(dix: DeviceIndex, seq, l_overlap, max_seed, max_locate,
-                     cap, pe_mode=False):
+                     cap, pe_mode=False, sampled=None):
     L = seq.shape[-1]
     c_seeds, r_seeds = seed_overlap(
         dix.ri_c, dix.ri_r, dix.lkt, seq, dix.l_seed, l_overlap, max_seed,
@@ -95,7 +95,8 @@ def _seed_and_locate(dix: DeviceIndex, seq, l_overlap, max_seed, max_locate,
     )
     lo = locate(
         c_seeds, r_seeds, dix.sa_cat, dix.c_sa_len, L, dix.l_pac,
-        max_locate, cap, pe_mode=pe_mode,
+        max_locate, cap, pe_mode=pe_mode, sampled=sampled,
+        ri_c=dix.ri_c, ri_r=dix.ri_r,
     )
     return sort_loci(lo.loci), lo.overflow
 
@@ -113,6 +114,7 @@ def se_ungapped(
     u: int = 64,
     k_hits: int = 16,
     pe_mode: bool = False,
+    sampled=None,
 ) -> UngappedOut:
     # both strands ride one (2B, ...) batch: halves the program size and
     # the per-strand fixed costs (sorts, scatters) vs two separate passes
@@ -121,7 +123,7 @@ def se_ungapped(
     assert seq_f.shape[1] <= 2047, "reads longer than 2047bp unsupported"
     seq2 = jnp.concatenate([seq_f, seq_r], axis=0)
     lc, loc_ovf = _seed_and_locate(dix, seq2, l_overlap, max_seed,
-                                   max_locate, cap, pe_mode)
+                                   max_locate, cap, pe_mode, sampled)
     chk = checked_mask(lc, dix.l_pac)
     pos, keep, ovf = compact_loci(lc, chk, u)
     ovf = ovf | loc_ovf
