@@ -35,6 +35,7 @@ def lv_distance_batch(
     k: int,
     window_pad: int = GAP_WINDOW_PAD,
     pat_precoded: bool = False,
+    text_words: bool = False,
 ) -> jnp.ndarray:
     """Edit distances (int32); inactive or unalignable -> BIG (255).
 
@@ -43,6 +44,9 @@ def lv_distance_batch(
     windows of exactly the read length, window_pad=0).  With
     `pat_precoded` the rows of `seq` are already AND-match codes
     (e.g. polish's equality bit encoding) instead of 0..4 base codes.
+    With `text_words` the reference arrives as 4-bit-packed uint32
+    words (device_index.pack_nibbles) — halves the HBM residency of
+    the reference text vs a byte array.
     """
     N, L = seq.shape
     TL = L + window_pad
@@ -52,8 +56,14 @@ def lv_distance_batch(
 
     base = jnp.where(active, pos, 0)
     tidx = base[:, None] + jnp.arange(TL, dtype=jnp.int32)
-    tidx = jnp.clip(tidx, 0, mixref.shape[0] - 1)
-    text = mixref[tidx]                                   # (N, TL) nibbles
+    if text_words:
+        widx = jnp.clip(tidx >> 3, 0, mixref.shape[0] - 1)
+        w = mixref[widx].astype(jnp.uint32)
+        text = ((w >> ((tidx & 7).astype(jnp.uint32) * 4)) & 15).astype(
+            jnp.uint8)
+    else:
+        tidx = jnp.clip(tidx, 0, mixref.shape[0] - 1)
+        text = mixref[tidx]                               # (N, TL) nibbles
     if pat_precoded:
         pat = seq.astype(jnp.uint8)
     else:

@@ -93,14 +93,15 @@ def _lv_tile_kernel(text_ref, pat_ref, out_ref, *, k: int, L: int, TL: int):
     out_ref[...] = out
 
 
-@partial(jax.jit, static_argnames=("k", "interpret"))
+@partial(jax.jit, static_argnames=("k", "interpret", "text_words"))
 def lv_distance_batch_pallas(
-    mixref: jnp.ndarray,   # uint8 [l_mref]
+    mixref: jnp.ndarray,   # uint8 [l_mref], or uint32 words (text_words)
     pos: jnp.ndarray,      # int32 (N,)
     active: jnp.ndarray,   # bool (N,)
     seq: jnp.ndarray,      # (N, L) read codes
     k: int,
     interpret: bool = False,
+    text_words: bool = False,
 ) -> jnp.ndarray:
     """Drop-in equivalent of lv_distance_batch (distances, BIG=255 when
     inactive/no alignment within k)."""
@@ -118,8 +119,14 @@ def lv_distance_batch_pallas(
 
     base = jnp.where(active, pos, 0)
     tidx = base[:, None] + jnp.arange(TL, dtype=jnp.int32)
-    tidx = jnp.clip(tidx, 0, mixref.shape[0] - 1)
-    text = mixref[tidx]                                  # (N, TL)
+    if text_words:
+        widx = jnp.clip(tidx >> 3, 0, mixref.shape[0] - 1)
+        w = mixref[widx].astype(jnp.uint32)
+        text = ((w >> ((tidx & 7).astype(jnp.uint32) * 4)) & 15).astype(
+            jnp.uint8)
+    else:
+        tidx = jnp.clip(tidx, 0, mixref.shape[0] - 1)
+        text = mixref[tidx]                              # (N, TL)
     pat = jnp.asarray(NT2BIT_NP)[jnp.clip(seq, 0, 4)]    # (N, L)
 
     # transpose to (positions, candidates); pad candidate axis to LANES.

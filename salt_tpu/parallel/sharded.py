@@ -133,7 +133,6 @@ def stack_indexes(shard_indexes: List[SaltIndex], bins, contig_data) -> StackedI
         r_lkt_sp=stack(lambda d: d.r_lkt_sp),
         r_lkt_ep=stack(lambda d: d.r_lkt_ep),
         sa_cat=_stack_sa_cat(dixes),
-        mixref=stack(lambda d: d.mixref),
         mixref_words=stack(lambda d: d.mixref_words),
         l_pac=max(d.l_pac for d in dixes),
         l_seed=dixes[0].l_seed,

@@ -23,8 +23,9 @@ class DeviceIndex:
     r_lkt_ep: jnp.ndarray
     sa_cat: jnp.ndarray   # uint32 [c_sa_len + T+1]: csa then r_coord,
                           # fused so locate is ONE gather per slot
-    mixref: jnp.ndarray   # uint8  [L]
-    mixref_words: jnp.ndarray  # uint32 [ceil(L/8)+2] little-endian nibbles
+    mixref_words: jnp.ndarray  # uint32 [ceil(L/8)+2] little-endian 4-bit
+                          # one-hot nibbles (the only device-resident
+                          # mixRef form; byte windows unpack on the fly)
     l_pac: int
     l_seed: int
     c_sa_len: int         # length of the csa part within sa_cat
@@ -33,18 +34,18 @@ class DeviceIndex:
         return (
             (
                 self.ri_c, self.ri_r, self.lkt, self.r_lkt_sp, self.r_lkt_ep,
-                self.sa_cat, self.mixref, self.mixref_words,
+                self.sa_cat, self.mixref_words,
             ),
             (self.l_pac, self.l_seed, self.c_sa_len),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        (ri_c, ri_r, lkt, r_lkt_sp, r_lkt_ep, sa_cat, mixref,
+        (ri_c, ri_r, lkt, r_lkt_sp, r_lkt_ep, sa_cat,
          mixref_words) = children
         return cls(
             ri_c=ri_c, ri_r=ri_r, lkt=lkt, r_lkt_sp=r_lkt_sp,
-            r_lkt_ep=r_lkt_ep, sa_cat=sa_cat, mixref=mixref,
+            r_lkt_ep=r_lkt_ep, sa_cat=sa_cat,
             mixref_words=mixref_words, l_pac=aux[0], l_seed=aux[1],
             c_sa_len=aux[2],
         )
@@ -192,7 +193,6 @@ def to_device_index(idx: SaltIndex, sa_mode: str = "full",
         r_lkt_sp=jnp.asarray(idx.r_lkt_sp),
         r_lkt_ep=jnp.asarray(idx.r_lkt_ep),
         sa_cat=sa_cat,
-        mixref=jnp.asarray(idx.mixref),
         mixref_words=jnp.asarray(pack_nibbles(idx.mixref)),
         l_pac=idx.l_pac,
         l_seed=idx.l_seed,

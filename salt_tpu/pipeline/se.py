@@ -198,11 +198,12 @@ def _gapped_verify(dix, loci, seq, u, k):
     lv_fn = (lv_distance_batch_pallas
              if jax.default_backend() == "tpu" else lv_distance_batch)
     d = lv_fn(
-        dix.mixref,
+        dix.mixref_words,
         pos.astype(jnp.int32).reshape(-1),
         in_ref.reshape(-1),
         jnp.repeat(seq, u, axis=0),
         k,
+        text_words=True,
     ).reshape(B, u)
     counts = jnp.where(keep, jnp.minimum(d, k + 1), 255)
     return StrandVerify(counts=counts, checked=keep, pos=pos), ovf

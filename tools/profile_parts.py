@@ -8,7 +8,7 @@ from salt_tpu.pipeline.device_index import to_device_index
 from salt_tpu.pipeline.engine import SEOptions, encode_reads, revcomp
 from salt_tpu.ops.seed import seed_overlap
 from salt_tpu.ops.locate import locate, sort_loci
-from salt_tpu.ops.verify import mismatch_counts, replay_and_select
+from salt_tpu.ops.verify import checked_mask, compact_loci, mismatch_counts_packed, replay_and_select
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 idx = build_index("/tmp/refbuild/Test/Genome/Genome.fa", "/tmp/oracle/hapmap.txt",
@@ -34,8 +34,11 @@ def f_locate(seq):
 @partial(jax.jit)
 def f_verify(seq):
     c, r = seed_overlap(dix.ri_c, dix.ri_r, dix.lkt, seq, 19, 1, 50)
-    lc = sort_loci(locate(c, r, dix.sa_cat, dix.c_sa_len, 100, dix.l_pac, 500, CAP))
-    return mismatch_counts(dix.mixref, lc, seq, dix.l_pac)
+    lo = locate(c, r, dix.sa_cat, dix.c_sa_len, 100, dix.l_pac, 500, CAP)
+    lc = sort_loci(lo.loci)
+    chk = checked_mask(lc, dix.l_pac)
+    pos, keep, _ = compact_loci(lc, chk, 64)
+    return mismatch_counts_packed(dix.mixref_words, pos, keep, seq, 4)
 
 def bench(name, fn):
     t0=time.time(); out = fn(seq); jax.block_until_ready(out); tc=time.time()-t0
