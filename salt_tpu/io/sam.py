@@ -93,6 +93,7 @@ def emit_se(
     print_nm_md: bool,
     rg_id: Optional[str],
     seq_start: int = 0,
+    md_tag: Optional[str] = None,   # precomputed (md_nm_tags_batch)
 ) -> str:
     """One SE SAM record (no trailing newline), aln_samse parity."""
     l_seq = len(seq)
@@ -121,7 +122,10 @@ def emit_se(
     if xa:
         rec += xa
     if print_nm_md:
-        rec += md_nm_tag(index, pos, strand, seq, rseq, cigar, seq_start)
+        if md_tag is not None:
+            rec += md_tag
+        else:
+            rec += md_nm_tag(index, pos, strand, seq, rseq, cigar, seq_start)
     if rg_id is not None:
         rec += f"\tRG:Z:{rg_id}"
     return rec
@@ -250,6 +254,55 @@ def emit_pe(index, q0, q1, min_tlen, max_tlen, print_xa_cigar, print_nm_md,
         rec += "\n"
         out.append(rec)
     return out
+
+
+def md_nm_tags_batch(
+    index: SaltIndex,
+    pos: np.ndarray,        # (B,) global positions (all < l_pac - L)
+    reads: np.ndarray,      # (B, L) strand-selected read codes
+) -> List[str]:
+    """Vectorized pure-match-cigar MD/NM/XV tags for a whole batch —
+    one pac gather + one mismatch scan instead of B small numpy calls
+    (same output as md_nm_tag's fast path)."""
+    B, L = reads.shape
+    pac = index.pac
+    mix = index.mixref
+    ref = pac[pos[:, None].astype(np.int64) + np.arange(L)]
+    rd = reads.astype(np.uint8)
+    mism = ref != rd
+    nm = mism.sum(axis=1)
+    rows, cols = np.nonzero(mism)
+    # SNP-allele hits at the mismatch sites (XV)
+    snp_ok = (mix[pos[rows].astype(np.int64) + cols] >> rd[rows, cols]) & 1
+    ref_b = ref[rows, cols]
+    tags: List[str] = []
+    k = 0
+    for i in range(B):
+        if nm[i] == 0:
+            tags.append(f"\tMD:Z:{L}\tNM:i:0")
+            continue
+        e = k + int(nm[i])
+        md = []
+        prev = -1
+        rs = []
+        for j in range(k, e):
+            c = int(cols[j])
+            gap = c - prev - 1
+            if gap:
+                md.append(str(gap))
+            md.append(BASES[min(int(ref_b[j]), 4)])
+            prev = c
+            if snp_ok[j] and len(rs) < 64:
+                rs.append(c)
+        tail = L - 1 - prev
+        if tail:
+            md.append(str(tail))
+        tag = f"\tMD:Z:{''.join(md)}\tNM:i:{int(nm[i])}"
+        if rs:
+            tag += "\tXV:i:" + ",".join(str(x) for x in rs)
+        tags.append(tag)
+        k = e
+    return tags
 
 
 def md_nm_tag(

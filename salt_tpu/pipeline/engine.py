@@ -470,7 +470,7 @@ class SEAligner:
 
     def _finalize_read(
         self, name, seq, rseq, qual, found, pos, strand, n_diff, is_gap,
-        n_hits, first_hit_ndiff, hits_pos, hits_ndiff,
+        n_hits, first_hit_ndiff, hits_pos, hits_ndiff, md_tag=None,
     ) -> str:
         o = self.opts
         idx = self.index
@@ -486,6 +486,7 @@ class SEAligner:
         # primary cigar (query_gen_cigar, query.c:282-296)
         if is_gap:
             e, cigar = self._lv_cigar(pos, seq if strand == 0 else rseq, n_diff)
+            md_tag = None
         else:
             cigar = f"{L}M"
         # XA cigars
@@ -497,7 +498,7 @@ class SEAligner:
             xa_with_cig.append((s, p, nd, cig))
         xa = build_xa(idx, pos, L, xa_with_cig, o.print_xa_cigar)
         return emit_se(idx, name, seq, rseq, qual, pos, strand, mapq, cigar,
-                       xa, o.print_nm_md, o.rg_id)
+                       xa, o.print_nm_md, o.rg_id, md_tag=md_tag)
 
     def _lv_cigar(self, pos, strand_seq, k):
         L = len(strand_seq)
@@ -543,6 +544,37 @@ class SEAligner:
                 res, needs_gap, gap_res, full_res = self._complete_batch(handle)
             _fin = stage("host.finalize")
             _fin.__enter__()
+            # batch the pure-match MD/NM/XV tags: one pac gather + one
+            # mismatch scan for every plain-path found read (the
+            # overwhelming majority), instead of a per-read numpy call
+            md_tags = {}
+            if o.print_nm_md:
+                plain = []
+                for i in range(nb):
+                    gi = start + i
+                    if n_amb[gi] > SE_MAX_N_AMBIGUOUS:
+                        continue
+                    if needs_gap[i] and i in gap_res:
+                        continue
+                    r = full_res[i] if i in full_res else None
+                    found = bool(r["found"]) if r else bool(res["found"][i])
+                    if not found:
+                        continue
+                    p = int(r["pos"]) if r else int(res["pos"][i])
+                    st = int(r["strand"]) if r else int(res["strand"][i])
+                    plain.append((i, p, st))
+                if plain:
+                    pos_a = np.array([p for _i, p, _s in plain], np.int64)
+                    rd = np.stack([
+                        (rcodes if s else codes)[start + i]
+                        for i, _p, s in plain
+                    ])
+                    from ..io.sam import md_nm_tags_batch
+
+                    for (i, _p, _s), tag in zip(
+                        plain, md_nm_tags_batch(self.index, pos_a, rd)
+                    ):
+                        md_tags[i] = tag
             for i in range(nb):
                 gi = start + i
                 if n_amb[gi] > SE_MAX_N_AMBIGUOUS:
@@ -567,6 +599,7 @@ class SEAligner:
                     bool(r["found"]), int(r["pos"]), int(r["strand"]),
                     int(r["n_diff"]), is_gap, r["n_hits"],
                     r["first_hit_ndiff"], r["hits_pos"], r["hits_ndiff"],
+                    md_tag=md_tags.get(i),
                 )
             _fin.__exit__(None, None, None)
         return out_records
