@@ -61,21 +61,36 @@ def main():
     ap.add_argument("--se-only", action="store_true")
     ap.add_argument("--max-err", type=float, default=0.0,
                     help="fail if total error rate exceeds this")
+    ap.add_argument("--sim", choices=["vendored", "internal"],
+                    default="vendored",
+                    help="internal: salt_tpu.sim.wgsim (no reference tree "
+                         "or C toolchain needed)")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
     wd = args.workdir
-    wgsim = ensure_wgsim(wd)
     r1, r2 = f"{wd}/R1.fq", f"{wd}/R2.fq"
     mut = f"{wd}/mutations.txt"
     if not os.path.exists(r1):
-        with open(mut, "w") as m:
-            subprocess.run(
-                [wgsim, "-S", "42", "-e", "0", "-r", "0.05", "-R", "0",
-                 "-d", "500", "-s", "50", "-N", str(args.n_pairs),
-                 "-1", "100", "-2", "100", "-h", args.genome, r1, r2],
-                stdout=m, stderr=subprocess.DEVNULL, check=True,
-            )
+        if args.sim == "internal":
+            from salt_tpu.sim.wgsim import SimParams, simulate
+
+            with open(r1, "w") as f1, open(r2, "w") as f2, \
+                    open(mut, "w") as m:
+                simulate(args.genome, f1, f2, SimParams(
+                    err_rate=0.0, mut_rate=0.05, indel_frac=0.0,
+                    dist=500, std_dev=50, n_pairs=args.n_pairs,
+                    size_l=100, size_r=100, is_hap=True, seed=42,
+                ), mut_out=m)
+        else:
+            wgsim = ensure_wgsim(wd)
+            with open(mut, "w") as m:
+                subprocess.run(
+                    [wgsim, "-S", "42", "-e", "0", "-r", "0.05", "-R", "0",
+                     "-d", "500", "-s", "50", "-N", str(args.n_pairs),
+                     "-1", "100", "-2", "100", "-h", args.genome, r1, r2],
+                    stdout=m, stderr=subprocess.DEVNULL, check=True,
+                )
     n_snp = mutations_to_hapmap(mut, f"{wd}/hapmap.txt")
     print(f"[harness] {args.n_pairs} pairs simulated, {n_snp} SNPs", flush=True)
 
