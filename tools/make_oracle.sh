@@ -94,5 +94,7 @@ if [ ! -f polish_se_oracle.txt ]; then
   awk '/^@/{print; next} n<2000{print; n++}' se_oracle.sam > se_sub_h.sam
   $BUILD/Bin/polish idx se_sub_h.sam > polish_se_oracle.txt 2> polish_se.log
   $BUILD/Bin/polish -p idx se_sub_h.sam > polish_pe_oracle.txt 2> polish_pe.log
+  $BUILD/Bin/polish -s idx se_sub_h.sam > polish_se_sw_oracle.txt 2>> polish_se.log
+  $BUILD/Bin/polish -s -p idx se_sub_h.sam > polish_pe_sw_oracle.txt 2>> polish_pe.log
 fi
 echo "[make_oracle] all fixtures present"
