@@ -339,6 +339,14 @@ def build_index_from_data(
         )
         offset += len(seq)
     l_pac = offset
+    # coordinates are uint32 end to end, matching the reference's
+    # bwtint_t limit (Align_src/bwt.h:41); headroom keeps pos+read_len
+    # arithmetic un-wrapped for any plausible read length
+    if l_pac >= 2**32 - 2**16:
+        raise ValueError(
+            f"genome too long for uint32 coordinates ({l_pac} bases); "
+            "shard the reference (parallel/sharded.py) instead"
+        )
     genome = "".join(contig_seqs)
     raw_codes = encode_seq(genome)
 
