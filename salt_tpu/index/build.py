@@ -19,7 +19,7 @@ vectorized numpy build producing device-friendly arrays:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import numpy as np

@@ -33,7 +33,6 @@ try:
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-from ..constants import NOGAP_MAX_DIFF
 from ..index.build import SaltIndex, build_index_from_data
 from ..pipeline.device_index import DeviceIndex, to_device_index
 from ..pipeline.se import se_ungapped

@@ -4,7 +4,7 @@ finalization (query_set_hits semantics) and SAM record assembly.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import os

@@ -16,7 +16,7 @@ its TLEN quirk (q0.seq_end - q1.seq_start, sam.c:356).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

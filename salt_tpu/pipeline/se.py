@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import GAP_WINDOW_PAD, NOGAP_MAX_DIFF, UINT32_MAX
-from ..ops.locate import Loci, LocateOut, locate, sort_loci
+from ..ops.locate import Loci, locate, sort_loci
 from ..ops.lv import lv_distance_batch
 from ..ops.lv_pallas import lv_distance_batch_pallas
 from ..ops.seed import seed_overlap

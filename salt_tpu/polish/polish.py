@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import sys
 from functools import partial
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import sys
 from dataclasses import dataclass
-from typing import List, Optional, TextIO, Tuple
+from typing import List, Optional, TextIO
 
 import numpy as np
 
