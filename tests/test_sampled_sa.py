@@ -90,3 +90,29 @@ def test_se_output_identical_full_vs_sampled(tmp_path):
     assert outs["full"] == outs["sampled"]
     mapped = sum(1 for l in outs["full"] if l and l.split("\t")[2] != "*")
     assert mapped >= 55
+
+
+def test_fast_cap_tier_identical(tmp_path):
+    """fast_cap (narrow first-pass locate + full-width re-run) must not
+    change output."""
+    from salt_tpu.sim.wgsim import SimParams, simulate
+
+    idx, seq = _fixture(seed=53, n=9000)
+    fa = tmp_path / "g.fa"
+    fa.write_text(f">c1\n{seq}\n")
+    o1, o2, mut = io.StringIO(), io.StringIO(), io.StringIO()
+    simulate(str(fa), o1, o2, SimParams(
+        err_rate=0.0, mut_rate=0.02, indel_frac=0.1, n_pairs=50,
+        size_l=100, size_r=100, dist=300, std_dev=30, is_hap=True, seed=3,
+    ), mut_out=mut)
+    lines = o1.getvalue().splitlines()
+    recs = [SeqRecord(name=lines[i][1:], comment=None, seq=lines[i + 1],
+                      qual=lines[i + 3]) for i in range(0, len(lines), 4)]
+    outs = {}
+    for fc in (0, 128):
+        al = SEAligner(idx, SEOptions(
+            l_overlap=1, max_locate=500, batch_size=64, print_nm_md=True,
+            print_xa_cigar=True, fast_cap=fc,
+        ))
+        outs[fc] = al.align_records(recs)
+    assert outs[0] == outs[128]
