@@ -159,7 +159,7 @@ def build_xa(
 
 
 def emit_pe(index, q0, q1, min_tlen, max_tlen, print_xa_cigar, print_nm_md,
-            rg_id, lv_cigar=None):
+            rg_id, lv_cigar=None, md_tags=(None, None)):
     """alnpe_sam (sam.c:331-457).  q0/q1 are PE _End objects.  Returns two
     record strings, each with the reference's trailing newline (the C
     appends '\\n' to the record and the caller's printf adds another,
@@ -247,8 +247,11 @@ def emit_pe(index, q0, q1, min_tlen, max_tlen, print_xa_cigar, print_nm_md,
                 xa_entries.append((strand, p, nd, cigx))
         rec += build_xa(index, int(e.pos), e.l_seq, xa_entries, print_xa_cigar)
         if print_nm_md and is_map[i]:
-            rec += md_nm_tag(index, int(e.pos), e.strand, e.seq, e.rseq,
-                             e.cigar, e.seq_start)
+            if md_tags[i] is not None:
+                rec += md_tags[i]
+            else:
+                rec += md_nm_tag(index, int(e.pos), e.strand, e.seq, e.rseq,
+                                 e.cigar, e.seq_start)
         if rg_id is not None:
             rec += f"\tRG:Z:{rg_id}"
         rec += "\n"

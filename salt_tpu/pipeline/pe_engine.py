@@ -405,10 +405,41 @@ class PEAligner:
                     e0, e1, reqs,
                     scores_map.get(pi) if scores_map else None, snp=False,
                 )
+
+        # batch the pure-match MD/NM/XV tags over all finalized ends
+        md_map = {}
+        if o.print_nm_md:
+            from ..io.sam import md_nm_tags_batch
+
+            items = []
+            for pi, (e0, e1, _m, _r) in enumerate(states):
+                for ei, e in ((0, e0), (1, e1)):
+                    if (e.pos != UINT32_MAX and e.seq_start == 0
+                            and e.seq_end == e.l_seq - 1
+                            and e.cigar == f"{e.l_seq}M"
+                            and int(e.pos) + e.l_seq <= self.index.l_pac):
+                        items.append((pi, ei, e))
+            if items:
+                Ls = {e.l_seq for _p, _e, e in items}
+                for L in Ls:
+                    grp = [it for it in items if it[2].l_seq == L]
+                    pos_a = np.array([int(e.pos) for _p, _e, e in grp],
+                                     np.int64)
+                    rd = np.stack([
+                        (e.rseq if e.strand else e.seq)[:L]
+                        for _p, _e, e in grp
+                    ])
+                    for (pi, ei, _e), tag in zip(
+                        grp, md_nm_tags_batch(self.index, pos_a, rd)
+                    ):
+                        md_map[(pi, ei)] = tag
+
+        for pi, (e0, e1, _mode, _reqs) in enumerate(states):
             out.extend(
                 emit_pe(self.index, e0, e1, o.min_tlen, o.max_tlen,
                         o.print_xa_cigar, o.print_nm_md, o.rg_id,
-                        lv_cigar=self._xa_cigar)
+                        lv_cigar=self._xa_cigar,
+                        md_tags=(md_map.get((pi, 0)), md_map.get((pi, 1))))
             )
         return out
 
