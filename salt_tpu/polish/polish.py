@@ -434,9 +434,20 @@ def _lv_plain_cigar(ref, query, k):
 
 def polish_main(index: SaltIndex, sam_path: str, paired: bool,
                 use_sw: bool = False, out=sys.stdout):
+    """Streams the SAM in CHUNK-sized slices (the reference loads line
+    by line, polish.c:471; whole-file buffering would not survive
+    100M-read inputs)."""
     p = Polisher(index, use_sw=use_sw)
-    lines = [l for l in open(sam_path) if l.strip() and not l.startswith("@")]
-    if paired:
-        p.polish_pe(lines, out)
-    else:
-        p.polish_se(lines, out)
+    chunk: list = []
+    # PE consumes lines two at a time; keep chunks even-sized
+    size = Polisher.CHUNK if not paired else Polisher.CHUNK * 2
+    with open(sam_path) as fh:
+        for line in fh:
+            if not line.strip() or line.startswith("@"):
+                continue
+            chunk.append(line)
+            if len(chunk) >= size:
+                (p.polish_pe if paired else p.polish_se)(chunk, out)
+                chunk = []
+    if chunk:
+        (p.polish_pe if paired else p.polish_se)(chunk, out)
