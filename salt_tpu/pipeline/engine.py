@@ -447,10 +447,18 @@ class SEAligner:
                 k += 1
         fn = (sw_score_batch_pallas if jax.default_backend() == "tpu"
               else sw_score_batch)
-        sc = np.asarray(fn(
-            jnp.asarray(refs), jnp.asarray(reads), jnp.asarray(lens),
-            snp_mode=True, gap_open=SW_GAP_OPEN, gap_extend=SW_GAP_EXTEND,
-        ))
+        try:
+            sc = np.asarray(fn(
+                jnp.asarray(refs), jnp.asarray(reads), jnp.asarray(lens),
+                snp_mode=True, gap_open=SW_GAP_OPEN,
+                gap_extend=SW_GAP_EXTEND,
+            ))
+        except Exception:  # Mosaic/compile failure: XLA fallback
+            sc = np.asarray(sw_score_batch(
+                jnp.asarray(refs), jnp.asarray(reads), jnp.asarray(lens),
+                snp_mode=True, gap_open=SW_GAP_OPEN,
+                gap_extend=SW_GAP_EXTEND,
+            ))
         out = []
         k = 0
         for _ri, _cf, _cr, cand in per_read:

@@ -511,8 +511,13 @@ class PEAligner:
                     reads[i, : other.l_seq] = seq
             fn = (sw_score_batch_pallas if jax.default_backend() == "tpu"
                   else sw_score_batch)
-            sc = np.asarray(fn(jnp.asarray(refs), jnp.asarray(reads),
-                               jnp.asarray(lens), snp_mode=snp_mode))
+            try:
+                sc = np.asarray(fn(jnp.asarray(refs), jnp.asarray(reads),
+                                   jnp.asarray(lens), snp_mode=snp_mode))
+            except Exception:  # Mosaic/compile failure: XLA fallback
+                sc = np.asarray(sw_score_batch(
+                    jnp.asarray(refs), jnp.asarray(reads),
+                    jnp.asarray(lens), snp_mode=snp_mode))
             for i, (pi, k, *_rest) in enumerate(live):
                 scores_map[pi][k] = int(sc[i])
         return scores_map
