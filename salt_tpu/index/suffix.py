@@ -108,6 +108,8 @@ def bwt_from_sa(text: np.ndarray, sa: np.ndarray, sentinel_code: int) -> tuple[n
     sa[r] > 0 and bwt_syms[primary] = sentinel_code for the row with
     sa[r] == 0.  `primary` equals the reference's inverseSa0 / bwt->primary.
     """
+    if len(text) == 0:  # zero-SNP index: R text is just the sentinel
+        return np.array([sentinel_code], dtype=np.uint8), 0
     prev = sa - 1
     primary = int(np.nonzero(sa == 0)[0][0])
     prev_clip = np.where(prev < 0, 0, prev)

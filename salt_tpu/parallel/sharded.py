@@ -157,12 +157,17 @@ def sharded_se_step(
     cap: int,
     u: int = 64,
     k_hits: int = 16,
+    return_hits: bool = False,
 ):
     """Runs the ungapped SE step on every shard and argmin-merges the
     per-read primaries over the `shard` mesh axis.
 
     Returns (found, global_pos (uint32), strand, n_diff, shard_id) per
     read — coordinates lifted into the global genome via base_offsets.
+    With `return_hits=True` additionally returns the raw per-shard hit
+    lists (hits_pos uint32 (n_shards,B,2,K) global coords, hits_ndiff,
+    n_hits) for an exact cross-shard XA merge via
+    `merge_sharded_hits` below.
 
     NOTE: the stacked tables are padded to the largest shard, so each
     shard's step masks candidates beyond its true l_pac.
@@ -205,11 +210,28 @@ def sharded_se_step(
         nd_best = best_key // 1024
         found_any = nd_best < 255
         shard_sel = best_key % 1024
-        return (
+        prim = (
             found_any[None], pos_sel[None], strand_sel[None], nd_best[None],
             shard_sel[None],
         )
+        if not return_hits:
+            return prim
+        # raw per-shard hit lists lifted into global coordinates; hits in
+        # the padded tail are masked out so the host merge never sees them
+        hok = (res.hits_pos < l_pac_true.astype(jnp.uint32)) & (
+            res.hits_ndiff < 255
+        )
+        hpos = jnp.where(
+            hok, res.hits_pos + base_off, jnp.uint32(0xFFFFFFFF)
+        )
+        hnd = jnp.where(hok, res.hits_ndiff, 255)
+        nh = jnp.sum(hok, axis=-1, dtype=jnp.int32)
+        # flag reads whose per-shard survivor list was truncated at K
+        # (then the merged replay can miss survivors — caller re-runs wide)
+        trunc = jnp.any(res.n_hits > res.hits_pos.shape[-1], axis=-1)
+        return prim + (hpos[None], hnd[None], nh[None], trunc[None])
 
+    n_out = 9 if return_hits else 5
     fn = shard_map(
         step,
         mesh=mesh,
@@ -217,7 +239,7 @@ def sharded_se_step(
             jax.tree_util.tree_map(lambda _: shard_spec, stacked.tree),
             shard_spec, shard_spec, rep, rep,
         ),
-        out_specs=(shard_spec,) * 5,
+        out_specs=(shard_spec,) * n_out,
         check_vma=False,
     )
     tree_sharded = jax.tree_util.tree_map(
@@ -230,10 +252,95 @@ def sharded_se_step(
     lpac_s = jax.device_put(shard_l_pac, NamedSharding(mesh, P("shard")))
     seqf_r = jax.device_put(seq_f, NamedSharding(mesh, P()))
     seqr_r = jax.device_put(seq_r, NamedSharding(mesh, P()))
-    found, pos, strand, nd, shard = fn(tree_sharded, base_s, lpac_s, seqf_r, seqr_r)
+    out = fn(tree_sharded, base_s, lpac_s, seqf_r, seqr_r)
+    found, pos, strand, nd, shard = out[:5]
     # every shard now holds the merged result; take shard 0's copy
     pos_u32 = np.asarray(pos)[0].view(np.uint32).astype(np.int64)
-    return (
+    prim = (
         np.asarray(found)[0], pos_u32,
         np.asarray(strand)[0], np.asarray(nd)[0], np.asarray(shard)[0],
     )
+    if not return_hits:
+        return prim
+    hpos, hnd, nh, trunc = (np.asarray(a) for a in out[5:])
+    return prim + (hpos, hnd, nh, trunc)
+
+
+def merge_sharded_hits(hpos, hnd, max_diff0: int, k_hits: int):
+    """Exact cross-shard merge of per-shard SE hit lists.
+
+    Each shard's threshold replay (ops/verify.py replay_and_select,
+    mirroring alnse.c:348-393) uses shard-local running minima, which are
+    >= the global running minima — so every monolithic survivor survives
+    in its own shard, and re-running the replay over the union (sorted by
+    global position per strand, strand 0 first) reproduces the monolithic
+    hit lists exactly, provided no shard truncated its list at K.
+
+    hpos: uint32 (n_shards, B, 2, K) global coords (0xFFFFFFFF = empty)
+    hnd:  int32  (n_shards, B, 2, K)
+    Returns dict(found, pos, strand, n_diff, hits_pos (B,2,k_hits),
+    hits_ndiff, n_hits (B,2), first_hit_ndiff (B,2)) in numpy.
+    """
+    S, B, _, K = hpos.shape
+    BIG = 255
+    # (B, 2, S*K) candidate pool per strand, position-sorted
+    cp = np.moveaxis(hpos, 0, 2).reshape(B, 2, S * K).astype(np.uint64)
+    cn = np.moveaxis(hnd, 0, 2).reshape(B, 2, S * K)
+    order = np.argsort(cp, axis=-1, kind="stable")
+    cp = np.take_along_axis(cp, order, axis=-1)
+    cn = np.take_along_axis(cn, order, axis=-1)
+    valid = cp != 0xFFFFFFFF
+    cnt = np.where(valid, cn, BIG)
+    # strand-0-then-strand-1 sequential threshold replay
+    flat_c = cnt.reshape(B, 2 * S * K)
+    run = np.minimum.accumulate(flat_c, axis=-1)
+    excl = np.concatenate(
+        [np.full((B, 1), BIG, dtype=run.dtype), run[:, :-1]], axis=-1
+    )
+    thr = np.minimum(max_diff0, excl)
+    hit = (flat_c <= thr).reshape(B, 2, S * K) & valid
+
+    hits_pos = np.full((B, 2, k_hits), 0xFFFFFFFF, dtype=np.uint32)
+    hits_ndiff = np.full((B, 2, k_hits), BIG, dtype=np.int32)
+    n_hits = hit.sum(axis=-1).astype(np.int32)
+    first_hit_ndiff = np.full((B, 2), BIG, dtype=np.int32)
+    for s in range(2):
+        hrow = hit[:, s]
+        sel = np.argsort(~hrow, axis=-1, kind="stable")[:, :k_hits]
+        got = np.take_along_axis(hrow, sel, axis=-1)
+        hits_pos[:, s] = np.where(
+            got, np.take_along_axis(cp[:, s], sel, axis=-1), 0xFFFFFFFF
+        ).astype(np.uint32)
+        hits_ndiff[:, s] = np.where(
+            got, np.take_along_axis(cn[:, s], sel, axis=-1), BIG
+        )
+        any_s = hrow.any(axis=-1)
+        first = np.argmax(hrow, axis=-1)
+        first_hit_ndiff[:, s] = np.where(
+            any_s, np.take_along_axis(cnt[:, s], first[:, None], axis=-1)[:, 0],
+            BIG,
+        )
+    # primary selection (replay_and_select semantics: strand 1's first
+    # hit displaces an equal strand-0 best).  The min is taken over ALL
+    # survivors (the compacted k_hits list may truncate before the min).
+    val = np.min(np.where(hit, cnt, BIG), axis=-1)
+    use1 = n_hits[:, 1] > 0
+    found = (n_hits.sum(axis=-1) > 0)
+    strand = np.where(use1, 1, 0)
+    n_diff = np.where(use1, val[:, 1], val[:, 0])
+
+    def best_pos(s):
+        sel_min = hit[:, s] & (cnt[:, s] == val[:, s][:, None])
+        i = np.argmax(sel_min, axis=-1)
+        return np.take_along_axis(cp[:, s], i[:, None], axis=-1)[:, 0].astype(
+            np.uint32
+        )
+
+    pos = np.where(use1, best_pos(1), best_pos(0))
+    pos = np.where(found, pos, np.uint32(0xFFFFFFFF))
+    return {
+        "found": found, "pos": pos, "strand": strand,
+        "n_diff": np.where(found, n_diff, BIG),
+        "hits_pos": hits_pos, "hits_ndiff": hits_ndiff,
+        "n_hits": n_hits, "first_hit_ndiff": first_hit_ndiff,
+    }
