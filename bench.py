@@ -65,6 +65,61 @@ def make_fixture():
     return contigs, blocks, reads
 
 
+def make_pe_fixture(contigs, blocks, n_pairs, isize=450, sd=30):
+    """PE read pairs (FR orientation) from the SNP haplotypes."""
+    rng = np.random.default_rng(1234)
+    bases = "ACGT"
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    haps = []
+    for (name, _, seq), blk in zip(contigs, blocks):
+        h = list(seq.upper())
+        for p, st in zip(blk.pos, blk.stype):
+            alts = [b for b in range(4) if (st & (1 << b)) and b != (st >> 4)]
+            if alts:
+                h[p] = bases[alts[0]]
+        haps.append("".join(h))
+    r1, r2 = [], []
+    for _ in range(n_pairs):
+        ci = int(rng.integers(0, len(haps)))
+        hap = haps[ci]
+        tl = int(np.clip(rng.normal(isize, sd), READ_LEN + 10, 640))
+        if len(hap) < tl + 2:
+            continue
+        s = int(rng.integers(0, len(hap) - tl))
+        fwd = hap[s : s + READ_LEN]
+        mate = hap[s + tl - READ_LEN : s + tl]
+        rev = "".join(comp.get(c, "N") for c in reversed(mate))
+        r1.append(fwd)
+        r2.append(rev)
+    return r1, r2
+
+
+def run_pe(contigs, blocks, idx):
+    """PE pairs/s on the same fixture; printed to stderr as a secondary
+    metric (the driver's contract is ONE JSON line = the SE number)."""
+    from salt_tpu.pipeline.pe_engine import PEAligner, PEOptions
+    from salt_tpu.io.fasta import SeqRecord
+
+    n_pairs = 2 * BATCH
+    r1, r2 = make_pe_fixture(contigs, blocks, n_pairs + BATCH)
+    opts = PEOptions(l_overlap=1, max_locate=500, print_nm_md=True,
+                     print_xa_cigar=True, batch_size=BATCH, gap_batch=128)
+    al = PEAligner(idx, opts)
+    mk = lambda rs, tag: [
+        SeqRecord(name=f"p{i}", comment=None, seq=s, qual="I" * len(s))
+        for i, s in enumerate(rs)
+    ]
+    recs1, recs2 = mk(r1, 1), mk(r2, 2)
+    al.align_pairs(recs1[:BATCH], recs2[:BATCH])  # warmup/compile
+    t0 = time.time()
+    al.align_pairs(recs1[BATCH : BATCH + n_pairs],
+                   recs2[BATCH : BATCH + n_pairs])
+    dt = time.time() - t0
+    n = min(n_pairs, len(recs1) - BATCH)
+    sys.stderr.write(f"PE: {n} pairs in {dt:.2f}s = {n/dt:.0f} pairs/s\n")
+    return n / dt
+
+
 def main():
     from salt_tpu.index.build import build_index_from_data
     from salt_tpu.pipeline.engine import SEAligner, SEOptions
@@ -86,6 +141,8 @@ def main():
     mapped = sum(1 for line in out if line and line.split("\t")[2] != "*")
     rate = n / dt
     sys.stderr.write(f"aligned {n} reads in {dt:.2f}s; {mapped}/{n} mapped\n")
+    if "--pe" in sys.argv:
+        run_pe(contigs, blocks, idx)
     print(json.dumps({
         "metric": "se_reads_per_sec_per_chip",
         "value": round(rate, 1),

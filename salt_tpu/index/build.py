@@ -37,8 +37,11 @@ from ..constants import (
 )
 from ..io.fasta import read_records
 from ..io.snp import SnpBlock, read_snp_blocks, allele_codes
+from ..utils.alloc import tune_allocator
 from ..utils.rand48 import Rand48
 from .suffix import bwt_from_sa, suffix_array
+
+tune_allocator()  # genome-scale numpy temporaries: see utils/alloc.py
 
 
 @dataclass
@@ -118,16 +121,18 @@ def build_lookup_table(pac: np.ndarray, k: int = MAX_LOOKUP_LEN) -> np.ndarray:
     l_ref = len(pac)
     if l_ref < k:
         raise ValueError("reference shorter than lookup k-mer")
-    x = pac.astype(np.int64)
-    powers = 4 ** np.arange(k - 1, -1, -1, dtype=np.int64)
-    # rolling big-endian base-4 values of all full windows
-    kmers = np.convolve(x, powers[::-1], mode="valid") if False else None
-    # use cumulative trick instead: strided windows dot powers
-    from numpy.lib.stride_tricks import sliding_window_view
-
-    win = sliding_window_view(x, k)
-    kmers = win @ powers  # shape (l_ref - k + 1,)
-    counts = np.bincount(kmers + 1, minlength=n_item).astype(np.uint32)
+    # rolling big-endian base-4 values of all full windows via k shifted
+    # adds (4^12 < 2^32 so the whole key fits uint32; a matmul over a
+    # sliding_window_view hits BLAS's strided slow path and is ~40x
+    # slower at genome scale)
+    n_win = l_ref - k + 1
+    kmers = pac[:n_win].astype(np.uint32)
+    for j in range(1, k):
+        np.left_shift(kmers, 2, out=kmers)
+        np.add(kmers, pac[j : j + n_win], out=kmers)
+    ki = kmers.astype(np.int64)
+    np.add(ki, 1, out=ki)
+    counts = np.bincount(ki, minlength=n_item).astype(np.uint32)
     # tail: continue shifting in zeros k times from the last full window
     mask = n_item - 2
     it = int(kmers[-1])
@@ -253,13 +258,14 @@ def build_r_lkt(r_codes: np.ndarray, rsa: np.ndarray, k: int = MAX_LOOKUP_LEN):
     granularity; intervals come from two vectorized searchsorteds.
     """
     T = len(r_codes)
-    ext = np.zeros(T + k, dtype=np.int64)
-    ext[:T] = r_codes.astype(np.int64) + 1
-    from numpy.lib.stride_tricks import sliding_window_view
-
-    pw = 6 ** np.arange(k - 1, -1, -1)
-    # 6^12 < 2^32: the whole key space fits uint32
-    keys_by_pos = (sliding_window_view(ext, k) @ pw).astype(np.uint32)
+    ext = np.zeros(T + k, dtype=np.uint32)
+    ext[:T] = r_codes.astype(np.uint32) + 1
+    # 6^12 < 2^32: the whole key space fits uint32.  Rolling Horner over
+    # k shifted adds (a sliding_window_view matmul is ~40x slower).
+    keys_by_pos = ext[: T + 1].copy()
+    for j in range(1, k):
+        np.multiply(keys_by_pos, 6, out=keys_by_pos)
+        np.add(keys_by_pos, ext[j : j + T + 1], out=keys_by_pos)
     keys_rank = keys_by_pos[rsa]                        # ascending
 
     # query keys for all 4^k k-mers, digitwise base-4 -> base-6(+1).
@@ -281,10 +287,20 @@ def build_r_lkt(r_codes: np.ndarray, rsa: np.ndarray, k: int = MAX_LOOKUP_LEN):
     # ep = sp + multiplicity - 1: a right-searchsorted is redundant since
     # the number of keys equal to kq(m) is the number of text positions
     # whose first k chars are exactly that ACGT k-mer
-    wins = sliding_window_view(r_codes, k) if T >= k else np.zeros((0, k), r_codes.dtype)
-    pure = (wins < 4).all(axis=1)
-    pw4 = (4 ** np.arange(k - 1, -1, -1)).astype(np.int64)
-    kmers4 = wins[pure].astype(np.int64) @ pw4
+    if T >= k:
+        n_win = T - k + 1
+        kmers4 = (r_codes[:n_win] & np.uint8(3)).astype(np.uint32)
+        npure = r_codes[:n_win] >= 4
+        tmp = np.empty(n_win, dtype=np.uint8)
+        for j in range(1, k):
+            np.left_shift(kmers4, 2, out=kmers4)
+            np.bitwise_and(r_codes[j : j + n_win], 3, out=tmp)
+            np.add(kmers4, tmp, out=kmers4)
+            np.greater_equal(r_codes[j : j + n_win], 4, out=tmp.view(bool))
+            np.logical_or(npure, tmp.view(bool), out=npure)
+        kmers4 = kmers4[~npure].astype(np.int64)
+    else:
+        kmers4 = np.zeros(0, dtype=np.int64)
     mult = np.bincount(kmers4, minlength=4 ** k).astype(np.uint32)
     ep = sp + mult - np.uint32(1)
     return sp, ep
@@ -418,33 +434,39 @@ def build_index_from_data(
     r_cumfreq = np.zeros(6, dtype=np.uint32)
     r_cumfreq[1:] = np.cumsum(r_counts).astype(np.uint32)
 
-    # per-text-position genome coordinate, then gather through the SA
+    # per-text-position genome coordinate, then gather through the SA.
+    # Filled segment-parallel with one repeat/cumsum ramp (a per-segment
+    # python loop costs ~40s at 300k segments on chr21 scale).
     pos2coord = np.full(r_text_len + 1, UINT32_MAX, dtype=np.uint32)
+    seg_start = np.array([s.text_start for s in segments], dtype=np.int64)
+    seg_len = np.array([s.length for s in segments], dtype=np.int64)
     if r_anchor_mode == "reference_compat":
         # sharp j precedes segment j (segment index == sharp index thanks
         # to the leading '#'); the reference assigns that sharp the anchor
         # of the record owning sharp j+2, minus (len_j + 1); coordinate of
         # offset o is then that value + o.
-        sharp_record = [0] + [seg.record for seg in segments]  # record per sharp
-        n_sharp = len(sharp_record)
-        for s, seg in enumerate(segments):
-            j = s + 2
-            if j < n_sharp:
-                a = anchors[sharp_record[j]]
-            else:
-                a = 0  # arr[N] out-of-bounds read; 0 is the observed heap value
-            value = (a - seg.length - 1) & 0xFFFFFFFF
-            n = seg.length
-            pos2coord[seg.text_start : seg.text_start + n] = (
-                (value + np.arange(n, dtype=np.int64)) & 0xFFFFFFFF
-            ).astype(np.uint32)
+        sharp_record = np.array(
+            [0] + [seg.record for seg in segments], dtype=np.int64
+        )
+        anchors_arr = np.asarray(anchors, dtype=np.int64)
+        j = np.arange(2, len(segments) + 2)
+        # arr[N] out-of-bounds reads observe 0 on the reference's heap
+        a = np.where(
+            j < len(sharp_record),
+            anchors_arr[sharp_record[np.minimum(j, len(sharp_record) - 1)]],
+            0,
+        )
+        value = (a - seg_len - 1) & 0xFFFFFFFF
     else:
-        for seg in segments:
-            n = seg.length
-            pos2coord[seg.text_start : seg.text_start + n] = (
-                np.arange(seg.genome_start, seg.genome_start + n, dtype=np.int64)
-                .astype(np.uint32)
-            )
+        value = np.array([s.genome_start for s in segments], dtype=np.int64)
+    if len(segments):
+        tot = int(seg_len.sum())
+        ends = np.cumsum(seg_len)
+        ramp = np.arange(tot, dtype=np.int64) - np.repeat(ends - seg_len, seg_len)
+        tpos = np.repeat(seg_start, seg_len) + ramp
+        pos2coord[tpos] = ((np.repeat(value, seg_len) + ramp) & 0xFFFFFFFF).astype(
+            np.uint32
+        )
     r_coord = pos2coord[rsa64]
     r_lkt_sp, r_lkt_ep = build_r_lkt(r_codes, rsa64)
 

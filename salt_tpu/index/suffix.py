@@ -41,6 +41,13 @@ def _try_load_sais():
                 ctypes.c_int64,
             ]
             lib.salt_sais_u8.restype = ctypes.c_int
+            if hasattr(lib, "salt_sais_u8_i32"):
+                lib.salt_sais_u8_i32.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_int64,
+                ]
+                lib.salt_sais_u8_i32.restype = ctypes.c_int
             _SAIS = lib
             break
     return _SAIS
@@ -48,29 +55,42 @@ def _try_load_sais():
 
 def suffix_array(text: np.ndarray) -> np.ndarray:
     """Suffix array of `text + [sentinel]` where the sentinel is smaller
-    than every symbol.  Returns int64 positions of length len(text)+1;
-    sa[0] == len(text) always (the sentinel suffix).
+    than every symbol.  Returns positions of length len(text)+1;
+    sa[0] == len(text) always (the sentinel suffix).  dtype is int32 for
+    texts under 2^31 symbols (halves index-build peak RSS), int64 above
+    (monolithic >2GB-base genomes; the sharded-by-bin build keeps each
+    shard under 2^31 so GRCh38-scale stays int32 per shard).
 
     `text` must be a uint8 array of small symbol codes (0..250ish).
     """
     n = len(text)
     lib = _try_load_sais()
     if lib is not None and n > 1 << 16:
-        sa = np.empty(n + 1, dtype=np.int64)
+        use32 = n + 1 < (1 << 31) and hasattr(lib, "salt_sais_u8_i32")
+        dt = np.int32 if use32 else np.int64
+        sa = np.empty(n + 1, dtype=dt)
         sa[0] = n
         if n > 0:
             body = np.ascontiguousarray(text, dtype=np.uint8)
-            out = np.empty(n, dtype=np.int64)
-            rc = lib.salt_sais_u8(
-                body.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                np.int64(n),
-            )
+            out = np.empty(n, dtype=dt)
+            if use32:
+                rc = lib.salt_sais_u8_i32(
+                    body.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    np.int64(n),
+                )
+            else:
+                rc = lib.salt_sais_u8(
+                    body.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    np.int64(n),
+                )
             if rc != 0:
-                raise RuntimeError("salt_sais_u8 failed")
+                raise RuntimeError("salt_sais failed")
             sa[1:] = out
         return sa
-    return _suffix_array_doubling(text)
+    sa = _suffix_array_doubling(text)
+    return sa.astype(np.int32) if n + 1 < (1 << 31) else sa
 
 
 def _suffix_array_doubling(text: np.ndarray) -> np.ndarray:

@@ -7,8 +7,13 @@
 //
 // Exposes:
 //   int salt_sais_u8(const uint8_t* text, int64_t* sa, int64_t n)
-//     writes the suffix array of text[0..n-1] (WITHOUT the implicit
-//     terminal sentinel) into sa[0..n-1]; returns 0 on success.
+//   int salt_sais_u8_i32(const uint8_t* text, int32_t* sa, int64_t n)
+//     write the suffix array of text[0..n-1] (WITHOUT the implicit
+//     terminal sentinel) into sa[0..n-1]; return 0 on success.
+//     The i32 variant (n < 2^31) halves the working set — the builder
+//     prefers it for every monolithic index (the uint32 genome-size
+//     contract caps coordinates anyway; >2^31-base genomes go through
+//     the sharded-by-bin build where each shard is < 2^31).
 
 #include <cstdint>
 #include <cstring>
@@ -18,44 +23,45 @@ namespace {
 
 using i64 = int64_t;
 
-template <typename T>
-void get_counts(const T* s, i64* cnt, i64 n, i64 k) {
-  std::memset(cnt, 0, sizeof(i64) * k);
-  for (i64 i = 0; i < n; ++i) ++cnt[s[i]];
+template <typename T, typename I>
+void get_counts(const T* s, I* cnt, I n, i64 k) {
+  std::memset(cnt, 0, sizeof(I) * k);
+  for (I i = 0; i < n; ++i) ++cnt[s[i]];
 }
 
-void get_buckets(const i64* cnt, i64* bkt, i64 k, bool end) {
-  i64 sum = 0;
+template <typename I>
+void get_buckets(const I* cnt, I* bkt, i64 k, bool end) {
+  I sum = 0;
   for (i64 i = 0; i < k; ++i) {
     sum += cnt[i];
     bkt[i] = end ? sum : sum - cnt[i];
   }
 }
 
-template <typename T>
-void induce_sa(const T* s, i64* sa, i64* cnt, i64* bkt, i64 n, i64 k,
+template <typename T, typename I>
+void induce_sa(const T* s, I* sa, I* cnt, I* bkt, I n, i64 k,
                const std::vector<bool>& is_s) {
   // L-type induction (left to right)
   get_buckets(cnt, bkt, k, false);
   // the sentinel's predecessor
   if (n > 0) {
-    i64 j = n - 1;
+    I j = n - 1;
     if (!is_s[j]) sa[bkt[s[j]]++] = j;
   }
-  for (i64 i = 0; i < n; ++i) {
-    i64 j = sa[i];
+  for (I i = 0; i < n; ++i) {
+    I j = sa[i];
     if (j > 0 && !is_s[j - 1]) sa[bkt[s[j - 1]]++] = j - 1;
   }
   // S-type induction (right to left)
   get_buckets(cnt, bkt, k, true);
-  for (i64 i = n - 1; i >= 0; --i) {
-    i64 j = sa[i];
+  for (I i = n - 1; i >= 0; --i) {
+    I j = sa[i];
     if (j > 0 && is_s[j - 1]) sa[--bkt[s[j - 1]]] = j - 1;
   }
 }
 
-template <typename T>
-void sais_core(const T* s, i64* sa, i64 n, i64 k) {
+template <typename T, typename I>
+void sais_core(const T* s, I* sa, I n, i64 k) {
   if (n == 0) return;
   if (n == 1) {
     sa[0] = 0;
@@ -65,34 +71,34 @@ void sais_core(const T* s, i64* sa, i64 n, i64 k) {
   std::vector<bool> is_s(n, false);
   is_s[n - 1] = false;  // last real char: L-type vs sentinel (smaller)
   // conventional: suffix n (sentinel) is S; s[n-1] > sentinel -> L
-  for (i64 i = n - 2; i >= 0; --i)
+  for (I i = n - 2; i >= 0; --i)
     is_s[i] = (s[i] < s[i + 1]) || (s[i] == s[i + 1] && is_s[i + 1]);
 
-  auto is_lms = [&](i64 i) { return i > 0 && is_s[i] && !is_s[i - 1]; };
+  auto is_lms = [&](I i) { return i > 0 && is_s[i] && !is_s[i - 1]; };
 
-  std::vector<i64> cnt(k), bkt(k);
+  std::vector<I> cnt(k), bkt(k);
   get_counts(s, cnt.data(), n, k);
 
   // step 1: place LMS suffixes at bucket ends (in text order) and induce
-  std::fill(sa, sa + n, -1);
+  std::fill(sa, sa + n, I(-1));
   get_buckets(cnt.data(), bkt.data(), k, true);
-  for (i64 i = n - 1; i >= 1; --i)
+  for (I i = n - 1; i >= 1; --i)
     if (is_lms(i)) sa[--bkt[s[i]]] = i;
   induce_sa(s, sa, cnt.data(), bkt.data(), n, k, is_s);
 
   // step 2: name LMS substrings using their induced order
-  i64 n_lms = 0;
-  for (i64 i = 0; i < n; ++i)
+  I n_lms = 0;
+  for (I i = 0; i < n; ++i)
     if (is_lms(sa[i])) sa[n_lms++] = sa[i];
-  std::fill(sa + n_lms, sa + n, -1);
-  i64 name = 0, prev = -1;
-  for (i64 i = 0; i < n_lms; ++i) {
-    i64 pos = sa[i];
+  std::fill(sa + n_lms, sa + n, I(-1));
+  I name = 0, prev = -1;
+  for (I i = 0; i < n_lms; ++i) {
+    I pos = sa[i];
     bool diff = false;
     if (prev < 0) {
       diff = true;
     } else {
-      for (i64 d = 0;; ++d) {
+      for (I d = 0;; ++d) {
         if (pos + d == n || prev + d == n) {
           // one substring ends at the sentinel
           diff = !(pos + d == n && prev + d == n);
@@ -115,30 +121,30 @@ void sais_core(const T* s, i64* sa, i64 n, i64 k) {
     sa[n_lms + pos / 2] = name - 1;
   }
   // compact names in text order
-  std::vector<i64> lms_pos;
+  std::vector<I> lms_pos;
   lms_pos.reserve(n_lms);
-  for (i64 i = 1; i < n; ++i)
+  for (I i = 1; i < n; ++i)
     if (is_lms(i)) lms_pos.push_back(i);
-  std::vector<i64> s1(n_lms);
+  std::vector<I> s1(n_lms);
   {
-    i64 j = 0;
-    for (i64 i = n_lms; i < n; ++i)
+    I j = 0;
+    for (I i = n_lms; i < n; ++i)
       if (sa[i] >= 0) s1[j++] = sa[i];
   }
 
   // step 3: order LMS suffixes
-  std::vector<i64> sa1(n_lms);
+  std::vector<I> sa1(n_lms);
   if (name < n_lms) {
-    sais_core<i64>(s1.data(), sa1.data(), n_lms, name);
+    sais_core<I, I>(s1.data(), sa1.data(), n_lms, name);
   } else {
-    for (i64 i = 0; i < n_lms; ++i) sa1[s1[i]] = i;
+    for (I i = 0; i < n_lms; ++i) sa1[s1[i]] = i;
   }
 
   // step 4: final induce from ordered LMS suffixes
-  std::fill(sa, sa + n, -1);
+  std::fill(sa, sa + n, I(-1));
   get_buckets(cnt.data(), bkt.data(), k, true);
-  for (i64 i = n_lms - 1; i >= 0; --i) {
-    i64 j = lms_pos[sa1[i]];
+  for (I i = n_lms - 1; i >= 0; --i) {
+    I j = lms_pos[sa1[i]];
     sa[--bkt[s[j]]] = j;
   }
   induce_sa(s, sa, cnt.data(), bkt.data(), n, k, is_s);
@@ -149,6 +155,13 @@ void sais_core(const T* s, i64* sa, i64 n, i64 k) {
 extern "C" int salt_sais_u8(const uint8_t* text, i64* sa, i64 n) {
   if (n < 0) return -1;
   if (n == 0) return 0;
-  sais_core<uint8_t>(text, sa, n, 256);
+  sais_core<uint8_t, i64>(text, sa, n, 256);
+  return 0;
+}
+
+extern "C" int salt_sais_u8_i32(const uint8_t* text, int32_t* sa, i64 n) {
+  if (n < 0 || n > INT32_MAX) return -1;
+  if (n == 0) return 0;
+  sais_core<uint8_t, int32_t>(text, sa, static_cast<int32_t>(n), 256);
   return 0;
 }
