@@ -38,7 +38,16 @@ def main(argv=None):
     ix.add_argument("prefix")
 
     al = sub.add_parser("aln", help="align reads -> SAM on stdout")
+    # -t is real in the reference (pthread pool, aln.c:141-143) but has
+    # no analogue here: batches are data-parallel on the device and the
+    # host side is single-process; a stderr note is printed when set.
     al.add_argument("-t", "--threads", type=int, default=1)
+    # -n/-l are parsed by the reference but inert there too: -n feeds
+    # aln_opt->max_diff which every consumer overwrites (alnse.c:990 vs
+    # 1016 `max_diff = 3` and 1090 `max_diff = l_seq/10`), and -l only
+    # sizes aux buffers (aux_init, alnse.c:1381) — the actual length
+    # comes from the reads.  Accepted for drop-in compatibility; a
+    # stderr note is printed when they differ from the defaults.
     al.add_argument("-n", "--num", type=int, default=-1)
     al.add_argument("-g", "--group", default=None)
     al.add_argument("-l", "--read-length", type=int, default=100)
@@ -129,6 +138,17 @@ def main(argv=None):
         from .index.store import load_index
         from .pipeline.engine import SEAligner, SEOptions
 
+        if args.threads != 1:
+            print(f"[aln] -t {args.threads} ignored: batches are "
+                  "data-parallel on the TPU; use --part-dir + multiple "
+                  "processes to scale hosts", file=sys.stderr)
+        if args.num != -1:
+            print("[aln] -n is inert (the reference overwrites max_diff "
+                  "internally, alnse.c:1016,1090); accepted for "
+                  "compatibility", file=sys.stderr)
+        if args.read_length != 100:
+            print("[aln] -l is inert (read length is taken from the "
+                  "input); accepted for compatibility", file=sys.stderr)
         idx = load_index(args.index_prefix)
         l_overlap = args.overlap if args.overlap > 0 else idx.l_seed
         if args.merge:

@@ -106,11 +106,30 @@ class SEOptions:
 
 
 def encode_reads(seqs: List[str]) -> np.ndarray:
+    """Encode a uniform-length group of reads (callers group mixed-length
+    input by exact length first — see group_by_length)."""
     L = len(seqs[0])
     arr = np.zeros((len(seqs), L), dtype=np.uint8)
     for i, s in enumerate(seqs):
+        if len(s) != L:
+            raise ValueError(
+                f"encode_reads needs uniform lengths (got {len(s)} vs {L}); "
+                "group mixed-length reads with group_by_length first"
+            )
         arr[i] = NST_NT4_TABLE[np.frombuffer(s.encode("latin1"), dtype=np.uint8)]
     return arr
+
+
+def group_by_length(seqs) -> List[tuple]:
+    """[(length, [orig_index, ...])], ascending by length.  The reference
+    tracks per-read l_seq and aligns whatever lengths arrive
+    (Align_src/query.c:240-268); with XLA's static shapes we instead run
+    one fixed-shape program per distinct length and scatter the results
+    back into input order."""
+    by_len = {}
+    for i, s in enumerate(seqs):
+        by_len.setdefault(len(s), []).append(i)
+    return sorted(by_len.items())
 
 
 def revcomp(codes: np.ndarray) -> np.ndarray:
@@ -518,7 +537,21 @@ class SEAligner:
 
     def align_records(self, records) -> List[str]:
         """records: list of SeqRecord.  Returns SAM record strings
-        (one per read, no newline; empty string for skipped reads)."""
+        (one per read, no newline; empty string for skipped reads).
+        Mixed-length input is grouped by exact length (one fixed-shape
+        device program per distinct length) and re-scattered in order."""
+        groups = group_by_length([r.seq for r in records])
+        if len(groups) <= 1:
+            return self._align_records_uniform(records)
+        out: List[str] = [""] * len(records)
+        for _L, idxs in groups:
+            for i, line in zip(
+                idxs, self._align_records_uniform([records[i] for i in idxs])
+            ):
+                out[i] = line
+        return out
+
+    def _align_records_uniform(self, records) -> List[str]:
         o = self.opts
         names = [trim_readno(r.name) for r in records]
         seqs = [r.seq for r in records]

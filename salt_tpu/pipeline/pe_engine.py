@@ -40,7 +40,7 @@ from ..io.sam import emit_pe, sam_header
 from ..ops.lv import NT2BIT_NP, lv_cigar_host
 from ..ops.ssw import SCORE_MAT5, SCORE_MAT16, ssw_align
 from .device_index import to_device_index
-from .engine import SEOptions, SEAligner, encode_reads, gen_mapq, revcomp, set_hits
+from .engine import SEOptions, SEAligner, gen_mapq, revcomp, set_hits
 
 
 @dataclass
@@ -319,48 +319,60 @@ class PEAligner:
         names = [trim_readno(r.name) for r in recs1 + recs2]
         seqs = [r.seq for r in recs1] + [r.seq for r in recs2]
         quals = [r.qual for r in recs1] + [r.qual for r in recs2]
-        codes = encode_reads(seqs)
-        rcodes = revcomp(codes)
-        n_amb = (codes > 3).sum(axis=1)
+        from ..constants import NST_NT4_TABLE
+        from .engine import group_by_length
 
-        # device SE stage for all 2n ends, batched; 2-deep software
-        # pipeline (dispatch batch i+1 before completing batch i)
+        codes_list = [
+            NST_NT4_TABLE[np.frombuffer(s.encode("latin1"), np.uint8)]
+            for s in seqs
+        ]
+        rcodes_list = [revcomp(c[None])[0] for c in codes_list]
+        n_amb = np.array([(c > 3).sum() for c in codes_list])
+
+        # device SE stage for all 2n ends: one fixed-shape program per
+        # distinct read length, batched; 2-deep software pipeline
+        # (dispatch batch i+1 before completing batch i)
         B = o.batch_size
-        ends: List[_End] = []
         results = {}
-        starts = list(range(0, 2 * n, B))
-        inflight = []
+        for _L, idxs in group_by_length(seqs):
+            starts = list(range(0, len(idxs), B))
+            inflight = []
 
-        def dispatch(start):
-            chunk = codes[start : start + B]
-            nb = len(chunk)
-            if nb < B:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((B - nb, chunk.shape[1]), np.uint8)]
+            def dispatch(s0):
+                sub = idxs[s0 : s0 + B]
+                chunk = np.stack([codes_list[i] for i in sub])
+                if len(sub) < B:
+                    chunk = np.concatenate([
+                        chunk,
+                        np.zeros((B - len(sub), chunk.shape[1]), np.uint8),
+                    ])
+                inflight.append((sub, self._se._dispatch_batch(chunk)))
+
+            if starts:
+                dispatch(starts[0])
+            for si in range(len(starts)):
+                if si + 1 < len(starts):
+                    dispatch(starts[si + 1])
+                sub, handle = inflight.pop(0)
+                res, needs_gap, gap_res, full_res = (
+                    self._se._complete_batch(handle)
                 )
-            inflight.append((start, nb, self._se._dispatch_batch(chunk)))
-
-        if starts:
-            dispatch(starts[0])
-        for si in range(len(starts)):
-            if si + 1 < len(starts):
-                dispatch(starts[si + 1])
-            start, nb, handle = inflight.pop(0)
-            res, needs_gap, gap_res, full_res = self._se._complete_batch(handle)
-            for i in range(nb):
-                gi = start + i
-                if needs_gap[i] and i in gap_res:
-                    results[gi] = (gap_res[i], True)
-                elif i in full_res:
-                    results[gi] = (full_res[i], False)
-                else:
-                    results[gi] = ({k: v[i] for k, v in res.items()}, False)
+                for i, gi in enumerate(sub):
+                    if needs_gap[i] and i in gap_res:
+                        results[gi] = (gap_res[i], True)
+                    elif i in full_res:
+                        results[gi] = (full_res[i], False)
+                    else:
+                        results[gi] = (
+                            {k: v[i] for k, v in res.items()}, False
+                        )
 
         out: List[str] = []
         states = []   # (e0, e1, mode, reqs)
         for pi in range(n):
-            e0 = _End(names[pi], codes[pi], rcodes[pi], quals[pi])
-            e1 = _End(names[n + pi], codes[n + pi], rcodes[n + pi], quals[n + pi])
+            e0 = _End(names[pi], codes_list[pi], rcodes_list[pi], quals[pi])
+            e1 = _End(names[n + pi], codes_list[n + pi],
+                      rcodes_list[n + pi], quals[n + pi])
             for gi, e in ((pi, e0), (n + pi, e1)):
                 if n_amb[gi] > PE_MAX_N_AMBIGUOUS:
                     continue  # end stays unmapped (alnpe.c:495)
