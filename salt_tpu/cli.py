@@ -33,6 +33,9 @@ def main(argv=None):
     ix.add_argument("-k", "--seed-len", type=int, default=25)
     ix.add_argument("--compat-rpart", action="store_true",
                     help="reproduce the reference's broken R-part anchors")
+    ix.add_argument("--shards", type=int, default=0,
+                    help="also build N per-reference-bin sub-indexes "
+                         "(contiguous contig runs) for `aln --shards N`")
     ix.add_argument("ref_fa")
     ix.add_argument("snp_file")
     ix.add_argument("prefix")
@@ -76,6 +79,9 @@ def main(argv=None):
     al.add_argument("--sa-mode", choices=["full", "sampled"], default="full",
                     help="sampled: ~12x smaller locate tables (whole-human-"
                          "genome index on one chip), bounded LF-walk locate")
+    al.add_argument("--shards", type=int, default=0,
+                    help="align against an index sharded by reference bin "
+                         "over N mesh devices (built with idx --shards N)")
     al.add_argument("--part-dir", default=None,
                     help="multi-host mode: write per-batch SAM parts here")
     al.add_argument("--shard-batch", type=int, default=100000,
@@ -122,16 +128,34 @@ def main(argv=None):
 
         return eval_main(args.rest)
     if args.cmd == "idx":
-        from .index.build import build_index
+        from .index.build import build_index, build_index_from_data
         from .index.store import save_index
+        from .io.fasta import read_records
+        from .io.snp import read_snp_blocks
 
-        idx = build_index(
-            args.ref_fa,
-            args.snp_file,
-            l_seed=args.seed_len,
-            r_anchor_mode="reference_compat" if args.compat_rpart else "exact",
-        )
+        mode = "reference_compat" if args.compat_rpart else "exact"
+        contig_data = [(r.name, r.comment or "(null)", r.seq)
+                       for r in read_records(args.ref_fa)]
+        blocks = list(read_snp_blocks(args.snp_file))
+        idx = build_index_from_data(contig_data, blocks,
+                                    l_seed=args.seed_len, r_anchor_mode=mode)
         save_index(idx, args.prefix)
+        if args.shards > 0:
+            import json
+
+            from .parallel.sharded import partition_contigs_contiguous
+
+            lengths = [len(c[2]) for c in contig_data]
+            bins = partition_contigs_contiguous(lengths, args.shards)
+            for si, b in enumerate(bins):
+                sub = build_index_from_data(
+                    [contig_data[i] for i in b],
+                    [blocks[i] for i in b if i < len(blocks)],
+                    l_seed=args.seed_len, r_anchor_mode=mode,
+                )
+                save_index(sub, f"{args.prefix}.shard{si}")
+            with open(args.prefix + ".shards.json", "w") as fh:
+                json.dump({"n_shards": args.shards, "bins": bins}, fh)
         return 0
 
     if args.cmd == "aln":
@@ -151,6 +175,19 @@ def main(argv=None):
                   "input); accepted for compatibility", file=sys.stderr)
         idx = load_index(args.index_prefix)
         l_overlap = args.overlap if args.overlap > 0 else idx.l_seed
+        shard_ixs = shard_bins = None
+        if args.shards > 0:
+            import json
+
+            with open(args.index_prefix + ".shards.json") as fh:
+                man = json.load(fh)
+            if man["n_shards"] != args.shards:
+                print(f"[aln] index was sharded {man['n_shards']}-way; "
+                      f"using that (requested {args.shards})",
+                      file=sys.stderr)
+            shard_ixs = [load_index(f"{args.index_prefix}.shard{i}")
+                         for i in range(man["n_shards"])]
+            shard_bins = man["bins"]
         if args.merge:
             from .io.sam import sam_header
             from .parallel.driver import merge_parts
@@ -174,7 +211,15 @@ def main(argv=None):
                 batch_size=args.batch_size,
                 sa_mode=args.sa_mode,
             )
-            al = PEAligner(idx, opts)
+            if shard_ixs is not None:
+                from .parallel.sharded_engine import ShardedPEAligner
+
+                al = ShardedPEAligner(
+                    idx, shard_ixs, opts, bins=shard_bins,
+                    contig_lengths=[c.length for c in idx.contigs],
+                )
+            else:
+                al = PEAligner(idx, opts)
             if args.part_dir:
                 from .parallel.driver import (align_file_sharded,
                                               maybe_init_distributed)
@@ -198,7 +243,15 @@ def main(argv=None):
                 extend_algo="sw" if args.extend == 1 else "lv",
                 sa_mode=args.sa_mode,
             )
-            al = SEAligner(idx, opts)
+            if shard_ixs is not None:
+                from .parallel.sharded_engine import ShardedSEAligner
+
+                al = ShardedSEAligner(
+                    idx, shard_ixs, opts, bins=shard_bins,
+                    contig_lengths=[c.length for c in idx.contigs],
+                )
+            else:
+                al = SEAligner(idx, opts)
             if args.part_dir:
                 from .parallel.driver import (align_file_sharded,
                                               maybe_init_distributed)

@@ -50,6 +50,35 @@ def partition_contigs(contig_data: Sequence[Tuple[str, str, str]], n_shards: int
     return [sorted(b) for b in bins]
 
 
+def partition_contigs_contiguous(lengths: Sequence[int], n_shards: int):
+    """Size-balanced partition into CONTIGUOUS contig runs (bins in
+    global order).  Contiguity makes shard-local -> global coordinate
+    lifting a single per-shard base offset (global = local + base),
+    which the full sharded aligner (sharded_engine.py) relies on."""
+    if n_shards > len(lengths):
+        raise ValueError(
+            f"cannot split {len(lengths)} contigs into {n_shards} "
+            "contiguous shards; reduce --shards"
+        )
+    total = sum(lengths)
+    target = total / n_shards
+    bins: List[List[int]] = []
+    cur: List[int] = []
+    acc = 0
+    for i, L in enumerate(lengths):
+        cur.append(i)
+        acc += L
+        remaining_bins = n_shards - len(bins) - 1
+        remaining_contigs = len(lengths) - i - 1
+        if (acc >= target and remaining_bins > 0
+                and remaining_contigs >= remaining_bins):
+            bins.append(cur)
+            cur = []
+            acc = 0
+    bins.append(cur)
+    return bins
+
+
 def build_sharded_indexes(contig_data, blocks, n_shards, l_seed=19):
     """One SaltIndex per shard.  SNP blocks are matched to contigs by
     position in the (global) contig order, as the monolithic build does."""
@@ -90,10 +119,13 @@ def _stack_sa_cat(dixes):
     return jnp.asarray(np.stack([_pad_to(p, n) for p in parts]))
 
 
-def stack_indexes(shard_indexes: List[SaltIndex], bins, contig_data) -> StackedIndex:
+def stack_indexes(shard_indexes: List[SaltIndex], bins, contig_data=None,
+                  contig_lengths=None) -> StackedIndex:
     dixes = [to_device_index(ix) for ix in shard_indexes]
     # global offset of each shard's first contig, for coordinate lifting
-    glob_off = np.cumsum([0] + [len(c[2]) for c in contig_data])[:-1]
+    if contig_lengths is None:
+        contig_lengths = [len(c[2]) for c in contig_data]
+    glob_off = np.cumsum([0] + list(contig_lengths))[:-1]
     base = np.array(
         [glob_off[b[0]] if b else 0 for b in bins], dtype=np.uint32
     )
