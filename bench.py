@@ -13,6 +13,20 @@ import os
 import sys
 import time
 
+# The axon relay's remote compile (PALLAS_AXON_REMOTE_COMPILE=1) routes
+# every XLA compile through the tunnel, where the round-2 pipeline
+# program never finished compiling (BENCH_r02 rc=124).  The baked libtpu
+# can compile locally — only execution needs the relay — so re-exec with
+# remote compile off unless explicitly kept (SALT_TPU_REMOTE_COMPILE=1).
+# sitecustomize reads the env at interpreter startup, hence the re-exec.
+if (os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1"
+        and os.environ.get("SALT_TPU_REMOTE_COMPILE") != "1"
+        and not os.environ.get("_SALT_TPU_REEXEC")):
+    env = dict(os.environ)
+    env["PALLAS_AXON_REMOTE_COMPILE"] = "0"
+    env["_SALT_TPU_REEXEC"] = "1"
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np

@@ -130,9 +130,15 @@ def build_lookup_table(pac: np.ndarray, k: int = MAX_LOOKUP_LEN) -> np.ndarray:
     for j in range(1, k):
         np.left_shift(kmers, 2, out=kmers)
         np.add(kmers, pac[j : j + n_win], out=kmers)
-    ki = kmers.astype(np.int64)
-    np.add(ki, 1, out=ki)
-    counts = np.bincount(ki, minlength=n_item).astype(np.uint32)
+    # chunked bincount: avoids materializing an int64 copy of the whole
+    # kmer stream (8 B/base of transient peak RSS at genome scale)
+    counts = np.zeros(n_item, dtype=np.uint32)
+    CH = 1 << 26
+    for s0 in range(0, n_win, CH):
+        ck = np.bincount(
+            kmers[s0 : s0 + CH].astype(np.int64), minlength=n_item - 1
+        )
+        counts[1 : 1 + len(ck)] += ck.astype(np.uint32)
     # tail: continue shifting in zeros k times from the last full window
     mask = n_item - 2
     it = int(kmers[-1])
@@ -405,7 +411,11 @@ def build_index_from_data(
     counts = np.bincount(pac, minlength=4)[:4]
     c_l2 = np.zeros(5, dtype=np.uint32)
     c_l2[1:] = np.cumsum(counts).astype(np.uint32)
-    csa = csa64.astype(np.uint32)
+    # int32 SA reinterprets as uint32 zero-copy (values are positive);
+    # the astype on the int64 path is the only transient
+    csa = (csa64.view(np.uint32) if csa64.dtype == np.int32
+           else csa64.astype(np.uint32))
+    del csa64
     csa[0] = UINT32_MAX  # bwt_cal_sa sets sa[0] = -1 (bwt.c:66)
 
     # --- R part ---

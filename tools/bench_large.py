@@ -13,8 +13,19 @@ from salt_tpu.io.snp import SnpBlock
 from salt_tpu.pipeline.engine import SEAligner, SEOptions
 
 GENOME_LEN = int(sys.argv[1]) if len(sys.argv) > 1 else 45_000_000
+BUILD_ONLY = "--build-only" in sys.argv
+SAVE_PREFIX = None
+for i, a in enumerate(sys.argv):
+    if a == "--save":
+        SAVE_PREFIX = sys.argv[i + 1]
 N_READS = 8192 * 3
 L = 100
+
+
+def rss_gb():
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
 rng = np.random.default_rng(7)
 bases = "ACGT"
@@ -37,7 +48,18 @@ block = SnpBlock("chr21s", pos, stype)
 t0 = time.time()
 idx = build_index_from_data([("chr21s", "synthetic", genome_str)], [block], l_seed=19)
 print(f"index built in {time.time()-t0:.1f}s "
-      f"(text {idx.r_text_len/1e6:.1f}M local-pattern chars)", flush=True)
+      f"(text {idx.r_text_len/1e6:.1f}M local-pattern chars); "
+      f"peak RSS {rss_gb():.2f}GB = {rss_gb()*1e9/GENOME_LEN:.1f} B/base",
+      flush=True)
+del genome_str
+if SAVE_PREFIX:
+    from salt_tpu.index.store import save_index
+
+    t0 = time.time()
+    save_index(idx, SAVE_PREFIX)
+    print(f"saved to {SAVE_PREFIX} in {time.time()-t0:.1f}s", flush=True)
+if BUILD_ONLY:
+    sys.exit(0)
 
 # reads from the SNP-mutated haplotype + 0.1% errors
 hap = codes.copy()
