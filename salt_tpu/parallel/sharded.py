@@ -68,10 +68,13 @@ def partition_contigs_contiguous(lengths: Sequence[int], n_shards: int):
     for i, L in enumerate(lengths):
         cur.append(i)
         acc += L
-        remaining_bins = n_shards - len(bins) - 1
-        remaining_contigs = len(lengths) - i - 1
-        if (acc >= target and remaining_bins > 0
-                and remaining_contigs >= remaining_bins):
+        bins_left = n_shards - len(bins)       # incl. the current one
+        contigs_left = len(lengths) - i - 1
+        # cut when the running bin reached its share, or when every
+        # remaining contig is needed to fill the remaining bins
+        must_cut = bins_left > 1 and contigs_left == bins_left - 1
+        want_cut = bins_left > 1 and acc >= target
+        if must_cut or want_cut:
             bins.append(cur)
             cur = []
             acc = 0
