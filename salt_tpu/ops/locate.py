@@ -186,23 +186,21 @@ def locate(
     total = cum[:, -1]
     cum_ex = cum - cnt                                    # exclusive
 
-    # slot t -> seed index: scatter (seed_idx + 1) at each nonempty
-    # seed's first slot and forward-fill with a running max — one
-    # scatter + one scan, no ordinal indirection.  Starts are strictly
-    # increasing over nonempty seeds, so each writes a distinct slot,
-    # and a later seed always has the larger index.
+    # slot t -> seed index: the covering seed is the first one whose
+    # inclusive cumsum exceeds t — a per-row binary search (log2(2S)
+    # unrolled gather steps).  Zero-count seeds share their predecessor's
+    # cum value and are skipped by side="right".  This replaces a
+    # scatter-max + running-max scan whose TPU lowering was pathological
+    # to compile (round-3 finding: the scatter variant put se_ungapped's
+    # XLA:TPU compile beyond 10 minutes; searchsorted compiles in
+    # seconds and is also faster at runtime).
     slots = jnp.arange(cap, dtype=jnp.int32)
-    starts = jnp.where(cnt > 0, cum_ex, cap)              # (B, 2S)
-    rows_i = jnp.arange(B, dtype=jnp.int32)[:, None]
-    marks = jnp.zeros((B, cap), dtype=jnp.int32)
-    marks = marks.at[rows_i, jnp.clip(starts, 0, cap)].max(
-        jnp.broadcast_to(jnp.arange(1, 2 * S + 1, dtype=jnp.int32), (B, 2 * S)),
-        mode="drop",
-    )
-    seed_idx = (
-        jax.lax.associative_scan(jnp.maximum, marks, axis=-1) - 1
-    )                                                     # (B, cap)
-    in_range = (slots[None, :] < total[:, None]) & (seed_idx >= 0)
+    seed_idx = jax.vmap(
+        lambda c, s: jnp.searchsorted(c, s, side="right",
+                                      method="scan_unrolled"),
+        in_axes=(0, None),
+    )(cum, slots).astype(jnp.int32)                       # (B, cap)
+    in_range = slots[None, :] < total[:, None]
 
     # fused per-seed attribute gather: one 2-wide row gather.  rank =
     # sp + (slot - cum_ex) * skip is refactored to fused + slot * skip

@@ -65,23 +65,29 @@ def checked_mask(loci: Loci, l_mref: int) -> jnp.ndarray:
 
 
 def compact_loci(loci: Loci, checked: jnp.ndarray, u: int):
-    """Keep the first `u` checked slots per read (order preserved), via a
-    scatter instead of a sort.
+    """Keep the first `u` checked slots per read (order preserved):
+    slot i gathers the (i+1)-th checked candidate, found by a per-row
+    binary search over the running checked count (scatters compile
+    pathologically slowly on the TPU backend — round-3 finding).
     Returns (pos (B,u) uint32, keep (B,u) bool, overflow (B,) bool)."""
     B, CAP = checked.shape
-    tgt = jnp.cumsum(checked.astype(jnp.int32), axis=-1) - 1
-    tgt = jnp.where(checked, tgt, u)  # out of range -> dropped
-    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
-    pos = jnp.full((B, u), UINT32_MAX, dtype=loci.pos.dtype)
-    pos = pos.at[rows, tgt].set(loci.pos, mode="drop")
-    # `keep` re-derived from the sentinel instead of a second scatter.
+    csum = jnp.cumsum(checked.astype(jnp.int32), axis=-1)
+    n_checked = csum[:, -1]
+    ranks = jnp.arange(1, u + 1, dtype=jnp.int32)
+    src = jax.vmap(
+        lambda c, r: jnp.searchsorted(c, r, side="left",
+                                      method="scan_unrolled"),
+        in_axes=(0, None),
+    )(csum, ranks)                                       # (B, u)
+    keep = ranks[None, :] <= n_checked[:, None]
+    pos = jnp.take_along_axis(loci.pos, jnp.clip(src, 0, CAP - 1), axis=-1)
+    pos = jnp.where(keep, pos, jnp.asarray(UINT32_MAX, dtype=loci.pos.dtype))
     # A checked pos of exactly 0xFFFFFFFF (wraparound pos == -1 passing
-    # the gapped end-check) is conflated: it then reads as absent, which
+    # the gapped end-check) is conflated with the absent sentinel, which
     # is equivalent — such a candidate fails the ungapped in-range rule
     # by construction and is masked by in_ref in the gapped verify, so
     # its count is unobservable either way.
     keep = pos != jnp.asarray(UINT32_MAX, dtype=loci.pos.dtype)
-    n_checked = jnp.sum(checked, axis=-1)
     return pos, keep, n_checked > u
 
 
@@ -213,12 +219,21 @@ def replay_and_select(
     )
 
     def compact(hs, cs, ps):
-        order = jnp.argsort(~hs, axis=-1, stable=True)
-        take = lambda a: jnp.take_along_axis(a, order[:, :k_hits], axis=-1)
-        hsel = jnp.take_along_axis(hs, order[:, :k_hits], axis=-1)
+        # first-k compaction by rank binary-search (stable-argsort over
+        # the hit mask compiled pathologically on TPU; see compact_loci)
+        csum = jnp.cumsum(hs.astype(jnp.int32), axis=-1)
+        ranks = jnp.arange(1, k_hits + 1, dtype=jnp.int32)
+        src = jax.vmap(
+            lambda c, r: jnp.searchsorted(c, r, side="left",
+                                          method="scan_unrolled"),
+            in_axes=(0, None),
+        )(csum, ranks)
+        hsel = ranks[None, :] <= csum[:, -1:]
+        take = lambda a: jnp.take_along_axis(
+            a, jnp.clip(src, 0, hs.shape[-1] - 1), axis=-1)
         hp = jnp.where(hsel, take(ps), jnp.uint32(UINT32_MAX))
         hn = jnp.where(hsel, take(cs), BIG)
-        n = jnp.sum(hs, axis=-1, dtype=jnp.int32)
+        n = csum[:, -1]
         fh = jnp.where(
             jnp.any(hs, axis=-1),
             jnp.take_along_axis(cs, jnp.argmax(hs, axis=-1)[:, None], axis=-1)[:, 0],

@@ -102,34 +102,52 @@ def _seed_and_locate(dix: DeviceIndex, seq, l_overlap, max_seed, max_locate,
 
 
 @partial(jax.jit, static_argnames=(
-    "l_overlap", "max_seed", "max_locate", "cap", "u", "k_hits", "pe_mode"))
-def se_ungapped(
+    "l_overlap", "max_seed", "max_locate", "cap", "pe_mode"))
+def _se_seed_locate(
     dix: DeviceIndex,
-    seq_f: jnp.ndarray,     # (B, L) forward codes
-    seq_r: jnp.ndarray,     # (B, L) reverse-complement codes
+    seq_f: jnp.ndarray,
+    seq_r: jnp.ndarray,
     l_overlap: int,
     max_seed: int,
     max_locate: int,
     cap: int,
-    u: int = 64,
-    k_hits: int = 16,
     pe_mode: bool = False,
     sampled=None,
-) -> UngappedOut:
-    # both strands ride one (2B, ...) batch: halves the program size and
-    # the per-strand fixed costs (sorts, scatters) vs two separate passes
-    B = seq_f.shape[0]
-    # locate packs the seed offset into 11 bits (ops/locate.py)
-    assert seq_f.shape[1] <= 2047, "reads longer than 2047bp unsupported"
+):
+    """Phase 1: seed + locate + sort, both strands in one (2B,...) batch."""
     seq2 = jnp.concatenate([seq_f, seq_r], axis=0)
     lc, loc_ovf = _seed_and_locate(dix, seq2, l_overlap, max_seed,
                                    max_locate, cap, pe_mode, sampled)
+    return seq2, lc, loc_ovf
+
+
+@partial(jax.jit, static_argnames=("u",))
+def _se_verify(
+    dix: DeviceIndex,
+    seq2: jnp.ndarray,
+    lc: Loci,
+    loc_ovf: jnp.ndarray,
+    u: int,
+):
+    """Phase 2: compact + word-packed mismatch counts."""
     chk = checked_mask(lc, dix.l_pac)
     pos, keep, ovf = compact_loci(lc, chk, u)
     ovf = ovf | loc_ovf
     v = mismatch_counts_packed(
         dix.mixref_words, pos, keep, seq2, NOGAP_MAX_DIFF + 1
     )
+    return v, ovf
+
+
+@partial(jax.jit, static_argnames=("k_hits",))
+def _se_select(
+    v: StrandVerify,
+    ovf: jnp.ndarray,
+    lc: Loci,
+    k_hits: int,
+) -> UngappedOut:
+    """Phase 3: threshold replay + primary/hit-list selection."""
+    B = v.counts.shape[0] // 2
     half = lambda a: (a[:B], a[B:])
     v0, v1 = (StrandVerify(*z) for z in zip(*map(half, v)))
     loci0, loci1 = (Loci(*z) for z in zip(*map(half, lc)))
@@ -144,7 +162,65 @@ def se_ungapped(
     )
 
 
-@partial(jax.jit, static_argnames=("max_locate", "cap", "k_hits"))
+def se_ungapped(
+    dix: DeviceIndex,
+    seq_f: jnp.ndarray,     # (B, L) forward codes
+    seq_r: jnp.ndarray,     # (B, L) reverse-complement codes
+    l_overlap: int,
+    max_seed: int,
+    max_locate: int,
+    cap: int,
+    u: int = 64,
+    k_hits: int = 16,
+    pe_mode: bool = False,
+    sampled=None,
+) -> UngappedOut:
+    """The ungapped device step, as THREE chained jit programs.
+
+    A single fused program is semantically identical but pathological to
+    compile on the XLA:TPU backend (round-3 finding: the individual
+    stage programs compile in 4-20s each, while any graph fusing
+    seed/locate with verify/replay runs past 13 minutes in the backend's
+    fusion/layout passes — round 2's bench timeout).  Splitting at the
+    locate/verify and verify/replay boundaries keeps every intermediate
+    on device — the only cost is two extra dispatches per batch (~10us
+    each) against a ~300ms step."""
+    # locate packs the seed offset into 11 bits (ops/locate.py)
+    assert seq_f.shape[1] <= 2047, "reads longer than 2047bp unsupported"
+    seq2, lc, loc_ovf = _se_seed_locate(
+        dix, seq_f, seq_r, l_overlap=l_overlap, max_seed=max_seed,
+        max_locate=max_locate, cap=cap, pe_mode=pe_mode, sampled=sampled,
+    )
+    v, ovf = _se_verify(dix, seq2, lc, loc_ovf, u=u)
+    return _se_select(v, ovf, lc, k_hits=k_hits)
+
+
+@partial(jax.jit, static_argnames=())
+def _se_verify_full(
+    dix: DeviceIndex,
+    seq_f: jnp.ndarray,
+    seq_r: jnp.ndarray,
+    loci0: Loci,
+    loci1: Loci,
+):
+    seq2 = jnp.concatenate([seq_f, seq_r], axis=0)
+    lc = Loci(*(jnp.concatenate([a, b], axis=0)
+                for a, b in zip(loci0, loci1)))
+    chk = checked_mask(lc, dix.l_pac)
+    pos, keep, _ = compact_loci(lc, chk, lc.pos.shape[-1])
+    return mismatch_counts_packed(
+        dix.mixref_words, pos, keep, seq2, NOGAP_MAX_DIFF + 1
+    )
+
+
+@partial(jax.jit, static_argnames=("k_hits",))
+def _se_select_res(v: StrandVerify, k_hits: int) -> SEResult:
+    B = v.counts.shape[0] // 2
+    half = lambda a: (a[:B], a[B:])
+    v0, v1 = (StrandVerify(*z) for z in zip(*map(half, v)))
+    return replay_and_select(v0, v1, NOGAP_MAX_DIFF, k_hits)
+
+
 def se_ungapped_full(
     dix: DeviceIndex,
     seq_f: jnp.ndarray,
@@ -156,19 +232,10 @@ def se_ungapped_full(
     k_hits: int = 16,
 ) -> SEResult:
     """Full-width verify fallback for reads whose unique-candidate count
-    exceeded the compact width (rare).  Reuses located loci."""
-    B = seq_f.shape[0]
-    seq2 = jnp.concatenate([seq_f, seq_r], axis=0)
-    lc = Loci(*(jnp.concatenate([a, b], axis=0)
-                for a, b in zip(loci0, loci1)))
-    chk = checked_mask(lc, dix.l_pac)
-    pos, keep, _ = compact_loci(lc, chk, lc.pos.shape[-1])
-    v = mismatch_counts_packed(
-        dix.mixref_words, pos, keep, seq2, NOGAP_MAX_DIFF + 1
-    )
-    half = lambda a: (a[:B], a[B:])
-    v0, v1 = (StrandVerify(*z) for z in zip(*map(half, v)))
-    return replay_and_select(v0, v1, NOGAP_MAX_DIFF, k_hits)
+    exceeded the compact width (rare).  Reuses located loci.  Split at
+    the verify/replay boundary like se_ungapped (compile pathology)."""
+    v = _se_verify_full(dix, seq_f, seq_r, loci0, loci1)
+    return _se_select_res(v, k_hits=k_hits)
 
 
 class GappedOut(NamedTuple):
@@ -209,7 +276,33 @@ def _gapped_verify(dix, loci, seq, u, k):
     return StrandVerify(counts=counts, checked=keep, pos=pos), ovf
 
 
-@partial(jax.jit, static_argnames=("k", "u", "k_hits"))
+@partial(jax.jit, static_argnames=("k", "u"))
+def _se_gapped_verify(
+    dix: DeviceIndex,
+    seq_f: jnp.ndarray,   # (Bg, L)
+    seq_r: jnp.ndarray,
+    loci0: Loci,          # (Bg, CAP) sorted
+    loci1: Loci,
+    k: int,
+    u: int,
+):
+    seq2 = jnp.concatenate([seq_f, seq_r], axis=0)
+    lc = Loci(*(jnp.concatenate([a, b], axis=0)
+                for a, b in zip(loci0, loci1)))
+    return _gapped_verify(dix, lc, seq2, u, k)
+
+
+@partial(jax.jit, static_argnames=("k", "k_hits"))
+def _se_gapped_select(v: StrandVerify, ovf: jnp.ndarray, k: int,
+                      k_hits: int) -> GappedOut:
+    B = v.counts.shape[0] // 2
+    half = lambda a: (a[:B], a[B:])
+    v0, v1 = (StrandVerify(*z) for z in zip(*map(half, v)))
+    ovf0, ovf1 = half(ovf)
+    res = replay_and_select(v0, v1, k, k_hits)
+    return GappedOut(res=res, overflow=ovf0 | ovf1)
+
+
 def se_gapped(
     dix: DeviceIndex,
     seq_f: jnp.ndarray,   # (Bg, L)
@@ -220,13 +313,7 @@ def se_gapped(
     u: int = 64,
     k_hits: int = 16,
 ) -> GappedOut:
-    B = seq_f.shape[0]
-    seq2 = jnp.concatenate([seq_f, seq_r], axis=0)
-    lc = Loci(*(jnp.concatenate([a, b], axis=0)
-                for a, b in zip(loci0, loci1)))
-    v, ovf = _gapped_verify(dix, lc, seq2, u, k)
-    half = lambda a: (a[:B], a[B:])
-    v0, v1 = (StrandVerify(*z) for z in zip(*map(half, v)))
-    ovf0, ovf1 = half(ovf)
-    res = replay_and_select(v0, v1, k, k_hits)
-    return GappedOut(res=res, overflow=ovf0 | ovf1)
+    """Gapped (Landau-Vishkin) check, split at the verify/replay
+    boundary like se_ungapped (XLA:TPU fusion-pass compile pathology)."""
+    v, ovf = _se_gapped_verify(dix, seq_f, seq_r, loci0, loci1, k=k, u=u)
+    return _se_gapped_select(v, ovf, k=k, k_hits=k_hits)
