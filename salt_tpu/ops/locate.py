@@ -187,19 +187,20 @@ def locate(
     cum_ex = cum - cnt                                    # exclusive
 
     # slot t -> seed index: the covering seed is the first one whose
-    # inclusive cumsum exceeds t — a per-row binary search (log2(2S)
-    # unrolled gather steps).  Zero-count seeds share their predecessor's
-    # cum value and are skipped by side="right".  This replaces a
+    # inclusive cumsum exceeds t, i.e. seed_idx = #{j : cum[j] <= t}
+    # (searchsorted side="right").  Computed as an all-compare reduction
+    # — pure broadcast compare + sum on the VPU, which XLA fuses without
+    # materializing (B, cap, 2S).  Zero-count seeds share their
+    # predecessor's cum value and are skipped for free.  This replaces a
     # scatter-max + running-max scan whose TPU lowering was pathological
     # to compile (round-3 finding: the scatter variant put se_ungapped's
-    # XLA:TPU compile beyond 10 minutes; searchsorted compiles in
-    # seconds and is also faster at runtime).
+    # XLA:TPU compile beyond 10 minutes), and a binary-search gather
+    # formulation whose per-element row gathers ran 5x slower than the
+    # whole round-2 locate step.
     slots = jnp.arange(cap, dtype=jnp.int32)
-    seed_idx = jax.vmap(
-        lambda c, s: jnp.searchsorted(c, s, side="right",
-                                      method="scan_unrolled"),
-        in_axes=(0, None),
-    )(cum, slots).astype(jnp.int32)                       # (B, cap)
+    seed_idx = jnp.sum(
+        cum[:, None, :] <= slots[None, :, None], axis=-1, dtype=jnp.int32
+    )                                                     # (B, cap)
     in_range = slots[None, :] < total[:, None]
 
     # fused per-seed attribute gather: one 2-wide row gather.  rank =

@@ -74,11 +74,12 @@ def compact_loci(loci: Loci, checked: jnp.ndarray, u: int):
     csum = jnp.cumsum(checked.astype(jnp.int32), axis=-1)
     n_checked = csum[:, -1]
     ranks = jnp.arange(1, u + 1, dtype=jnp.int32)
-    src = jax.vmap(
-        lambda c, r: jnp.searchsorted(c, r, side="left",
-                                      method="scan_unrolled"),
-        in_axes=(0, None),
-    )(csum, ranks)                                       # (B, u)
+    # index of the rank-th checked slot = #{j : csum[j] < rank}
+    # (searchsorted side="left" as an all-compare reduction; the
+    # binary-search gather form was 5x slower on TPU, see locate.py)
+    src = jnp.sum(
+        csum[:, None, :] < ranks[None, :, None], axis=-1, dtype=jnp.int32
+    )                                                    # (B, u)
     keep = ranks[None, :] <= n_checked[:, None]
     pos = jnp.take_along_axis(loci.pos, jnp.clip(src, 0, CAP - 1), axis=-1)
     pos = jnp.where(keep, pos, jnp.asarray(UINT32_MAX, dtype=loci.pos.dtype))
@@ -219,15 +220,14 @@ def replay_and_select(
     )
 
     def compact(hs, cs, ps):
-        # first-k compaction by rank binary-search (stable-argsort over
-        # the hit mask compiled pathologically on TPU; see compact_loci)
+        # first-k compaction by rank selection (stable-argsort over the
+        # hit mask compiled pathologically on TPU; see compact_loci)
         csum = jnp.cumsum(hs.astype(jnp.int32), axis=-1)
         ranks = jnp.arange(1, k_hits + 1, dtype=jnp.int32)
-        src = jax.vmap(
-            lambda c, r: jnp.searchsorted(c, r, side="left",
-                                          method="scan_unrolled"),
-            in_axes=(0, None),
-        )(csum, ranks)
+        src = jnp.sum(
+            csum[:, None, :] < ranks[None, :, None], axis=-1,
+            dtype=jnp.int32,
+        )
         hsel = ranks[None, :] <= csum[:, -1:]
         take = lambda a: jnp.take_along_axis(
             a, jnp.clip(src, 0, hs.shape[-1] - 1), axis=-1)

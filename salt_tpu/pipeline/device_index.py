@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import jax
@@ -168,6 +169,74 @@ def build_sampled_sa(idx: SaltIndex, intv: int = 8) -> SampledSA:
     )
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("k",))
+def _device_lkt(pac: jnp.ndarray, k: int = 12) -> jnp.ndarray:
+    """Device-side build of the C-part 12-mer prefix-sum table,
+    bit-identical to index.build.build_lookup_table (incl. the A-padded
+    tail quirk, LookUpTable.c:114-135).  Transfers n bytes of pac codes
+    instead of the 67MB table — the index tables dominated host->device
+    transfer bytes (round-3 finding: the relay tunnel intermittently
+    crawls on bulk transfers; 209MB sometimes never arrived)."""
+    n = pac.shape[0]
+    n_item = (1 << (2 * k)) + 1
+    n_win = n - k + 1
+    p = pac.astype(jnp.uint32)
+    kmers = jnp.zeros((n_win,), jnp.uint32)
+    for j in range(k):
+        kmers = (kmers << 2) + jax.lax.dynamic_slice(p, (j,), (n_win,))
+    counts = jnp.zeros((n_item,), jnp.uint32)
+    counts = counts.at[kmers.astype(jnp.int32) + 1].add(jnp.uint32(1),
+                                                        mode="drop")
+    # tail: shift in zeros k times from the last full window
+    mask = jnp.uint32(n_item - 2)
+    it = kmers[-1]
+    for _ in range(k):
+        it = (it << 2) & mask
+        counts = counts.at[it.astype(jnp.int32) + 1].add(jnp.uint32(1),
+                                                         mode="drop")
+    return jnp.cumsum(counts, dtype=jnp.uint32)
+
+
+@_partial(jax.jit, static_argnames=("k", "chunk"))
+def _device_r_lkt(ri_r: RankIndex, k: int = 12, chunk: int = 1 << 21):
+    """Device-side build of the exact R-part 12-mer interval tables by
+    running the 12 backward-search LF steps for every k-mer from the
+    full interval — the construction the table replaces, so seeding is
+    result-identical (ops/seed.py uses only sp, ep and the sp<=ep
+    liveness; dead kmers store the canonical empty interval (1, 0))."""
+    n_kmer = 1 << (2 * k)
+    from ..ops.rank import lf_step
+
+    def build_chunk(base):
+        kmer = base + jnp.arange(chunk, dtype=jnp.int32)
+        kk = jnp.zeros((chunk,), jnp.int32)
+        ll = jnp.full((chunk,), ri_r.n, jnp.int32)
+        alive = jnp.ones((chunk,), bool)
+        for j in range(k):       # last char first (backward search)
+            c = (kmer >> (2 * j)) & 3
+            kn, ln = lf_step(ri_r, kk, ll, c)
+            new_alive = alive & ~(kn > ln)
+            kk = jnp.where(new_alive, kn, kk)
+            ll = jnp.where(new_alive, ln, ll)
+            alive = new_alive
+        sp = jnp.where(alive, kk, 1).astype(jnp.uint32)
+        ep = jnp.where(alive, ll, 0).astype(jnp.uint32)
+        return sp, ep
+
+    bases = jnp.arange(0, n_kmer, chunk, dtype=jnp.int32)
+    sp, ep = jax.lax.map(build_chunk, bases)   # (n_chunks, chunk) each
+    return sp.reshape(-1), ep.reshape(-1)
+
+
+# genomes below this length build the C lkt on device from pac codes
+# (n bytes) instead of transferring the 67MB host table; above it the
+# table transfer is the smaller payload
+_DEVICE_LKT_MAX = int(os.environ.get("SALT_TPU_DEVICE_LKT_MAX", str(1 << 26)))
+
+
 def to_device_index(idx: SaltIndex, sa_mode: str = "full",
                     sa_intv: int = 8):
     """sa_mode="full": one-gather locate (fastest, 4B/rank HBM).
@@ -186,12 +255,19 @@ def to_device_index(idx: SaltIndex, sa_mode: str = "full",
         sampled = None
         sa_cat = jnp.asarray(np.concatenate([idx.csa, idx.r_coord]))
         c_sa_len = len(idx.csa)
+    if idx.l_pac <= _DEVICE_LKT_MAX:
+        lkt = _device_lkt(jnp.asarray(idx.pac), k=12)
+        r_lkt_sp, r_lkt_ep = _device_r_lkt(ri_r, k=12)
+    else:
+        lkt = jnp.asarray(idx.lkt)
+        r_lkt_sp = jnp.asarray(idx.r_lkt_sp)
+        r_lkt_ep = jnp.asarray(idx.r_lkt_ep)
     dix = DeviceIndex(
         ri_c=ri_c,
         ri_r=ri_r,
-        lkt=jnp.asarray(idx.lkt),
-        r_lkt_sp=jnp.asarray(idx.r_lkt_sp),
-        r_lkt_ep=jnp.asarray(idx.r_lkt_ep),
+        lkt=lkt,
+        r_lkt_sp=r_lkt_sp,
+        r_lkt_ep=r_lkt_ep,
         sa_cat=sa_cat,
         mixref_words=jnp.asarray(pack_nibbles(idx.mixref)),
         l_pac=idx.l_pac,

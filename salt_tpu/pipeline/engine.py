@@ -215,8 +215,10 @@ class SEAligner:
         immediately while the host moves on (pipelining)."""
         o = self.opts
         with stage("device.dispatch"):
-            fwd = jnp.asarray(codes.astype(np.int32))
-            rev = jnp.asarray(revcomp(codes).astype(np.int32))
+            # ship reads as uint8 (4x fewer bytes over the relay tunnel);
+            # the device step casts to int32 on entry
+            fwd = jnp.asarray(codes)
+            rev = jnp.asarray(revcomp(codes))
             out = se_ungapped(
                 self.dix, fwd, rev,
                 l_overlap=o.l_overlap, max_seed=o.max_seed,

@@ -115,7 +115,8 @@ def _se_seed_locate(
     sampled=None,
 ):
     """Phase 1: seed + locate + sort, both strands in one (2B,...) batch."""
-    seq2 = jnp.concatenate([seq_f, seq_r], axis=0)
+    # reads arrive as uint8 (transfer-lean); compute in int32
+    seq2 = jnp.concatenate([seq_f, seq_r], axis=0).astype(jnp.int32)
     lc, loc_ovf = _seed_and_locate(dix, seq2, l_overlap, max_seed,
                                    max_locate, cap, pe_mode, sampled)
     return seq2, lc, loc_ovf
@@ -203,7 +204,7 @@ def _se_verify_full(
     loci0: Loci,
     loci1: Loci,
 ):
-    seq2 = jnp.concatenate([seq_f, seq_r], axis=0)
+    seq2 = jnp.concatenate([seq_f, seq_r], axis=0).astype(jnp.int32)
     lc = Loci(*(jnp.concatenate([a, b], axis=0)
                 for a, b in zip(loci0, loci1)))
     chk = checked_mask(lc, dix.l_pac)
@@ -286,7 +287,7 @@ def _se_gapped_verify(
     k: int,
     u: int,
 ):
-    seq2 = jnp.concatenate([seq_f, seq_r], axis=0)
+    seq2 = jnp.concatenate([seq_f, seq_r], axis=0).astype(jnp.int32)
     lc = Loci(*(jnp.concatenate([a, b], axis=0)
                 for a, b in zip(loci0, loci1)))
     return _gapped_verify(dix, lc, seq2, u, k)
