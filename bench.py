@@ -214,4 +214,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # backend/tunnel failure: still honor the
+        import traceback    # one-JSON-line contract with best-so-far
+
+        traceback.print_exc()
+        sys.stderr.write(f"[bench] aborted by {type(e).__name__}; emitting "
+                         f"best-so-far ({_BEST['rate']:.1f} reads/s)\n")
+        _finish(_BEST["rate"])

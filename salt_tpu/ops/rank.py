@@ -89,6 +89,51 @@ def build_rank_index(
     )
 
 
+@partial(jax.jit, static_argnames=("n", "n_sym", "n_words"))
+def _device_rank_planes(words: jnp.ndarray, n: int, n_sym: int,
+                        n_words: int) -> jnp.ndarray:
+    """Device-side construction of the bc bit-plane array from 4-bit
+    packed symbols (8 per uint32 word, little-endian) — bit-identical to
+    build_rank_index's host loop.  Transfers n/2 bytes instead of the
+    ~1.5n-byte plane array (the relay tunnel stalls on bulk transfers)."""
+    W = n_words
+    # unpack to one nibble per symbol, padding (>= n) forced to 15
+    # (matches no host symbol, so pad bits stay 0 in every plane)
+    sh = jnp.arange(8, dtype=jnp.uint32) * 4
+    nib = ((words[:, None].astype(jnp.uint32) >> sh) & 15).reshape(-1)
+    pos = jnp.arange(nib.shape[0], dtype=jnp.int32)
+    nib = jnp.where(pos < n, nib, jnp.uint32(15))
+    # pad the symbol stream to exactly W*32 entries
+    tot = W * 32
+    nib = jnp.concatenate(
+        [nib, jnp.full((max(tot - nib.shape[0], 0),), 15, jnp.uint32)]
+    )[:tot].reshape(W, 32)
+    bit_w = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+    planes = []
+    for c in range(n_sym):
+        eq = nib == jnp.uint32(c)                    # (W, 32)
+        bits = jnp.sum(jnp.where(eq, bit_w, 0), axis=-1, dtype=jnp.uint32)
+        per_word = jax.lax.population_count(bits).astype(jnp.int32)
+        excl = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(per_word)[:-1]]
+        )
+        planes.append(jnp.stack([excl, bits.astype(jnp.int32)], axis=-1))
+    return jnp.concatenate(planes, axis=0)           # (n_sym*W, 2)
+
+
+def build_rank_index_device(packed_words: jnp.ndarray, n: int, n_sym: int,
+                            cfreq: np.ndarray) -> RankIndex:
+    """RankIndex whose bc planes are built on device from packed syms."""
+    W = (n + 2 + 31) // 32 + 1
+    bc = _device_rank_planes(packed_words, n=n, n_sym=n_sym, n_words=W)
+    return RankIndex(
+        bc=bc,
+        cfreq=jnp.asarray(cfreq.astype(np.int32)),
+        n=n,
+        n_words=W,
+    )
+
+
 def rank_excl(ri: RankIndex, idx: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     """Vectorized exclusive rank: #c in sym[0..idx-1].  idx int32 >= 0."""
     w = idx >> 5

@@ -236,6 +236,32 @@ def _device_r_lkt(ri_r: RankIndex, k: int = 12, chunk: int = 1 << 21):
 # table transfer is the smaller payload
 _DEVICE_LKT_MAX = int(os.environ.get("SALT_TPU_DEVICE_LKT_MAX", str(1 << 26)))
 
+# texts below this many ranks derive the full locate tables (csa +
+# r_coord, the dominant transfer bytes) on device from the sampled-SA
+# structures via bounded LF walks; above it the one-time walk cost
+# outweighs the transfer saving
+_DERIVE_SA_MAX = int(os.environ.get("SALT_TPU_DERIVE_SA_MAX", str(1 << 25)))
+
+
+@_partial(jax.jit, static_argnames=("n1c", "n1r"))
+def _derive_sa_cat(sampled: "SampledSA", ri_c: RankIndex, ri_r: RankIndex,
+                   n1c: int, n1r: int) -> jnp.ndarray:
+    """Derive the full-table sa_cat (csa ++ r_coord) on device by
+    resolving every rank through the sampled-SA walk (ops/locate.py
+    resolve_sampled) — the walk reproduces the full-table values for
+    every rank reachable as a locate candidate, so the one-gather
+    "full" locate path keeps its speed while only the ~30x smaller
+    sampled structures cross the relay tunnel."""
+    from ..ops.locate import resolve_sampled
+
+    kc = jnp.arange(n1c, dtype=jnp.int32)
+    csa = resolve_sampled(sampled, ri_c, ri_r, kc,
+                          jnp.zeros((n1c,), bool), jnp.ones((n1c,), bool))
+    kr = jnp.arange(n1r, dtype=jnp.int32)
+    rco = resolve_sampled(sampled, ri_c, ri_r, kr,
+                          jnp.ones((n1r,), bool), jnp.ones((n1r,), bool))
+    return jnp.concatenate([csa, rco])
+
 
 def to_device_index(idx: SaltIndex, sa_mode: str = "full",
                     sa_intv: int = 8):
@@ -243,8 +269,25 @@ def to_device_index(idx: SaltIndex, sa_mode: str = "full",
     sa_mode="sampled": bounded LF-walk locate at ~n/3 bytes total —
     whole-human-genome indexes fit a single chip.  Returns DeviceIndex
     or (DeviceIndex, SampledSA)."""
-    ri_c = build_rank_index(idx.cbwt, 5, np.append(idx.c_l2, 0), C_SENTINEL)
-    ri_r = build_rank_index(idx.rbwt, 6, np.append(idx.r_cumfreq, 0), R_SENTINEL)
+    from ..ops.rank import build_rank_index_device
+
+    n1c = len(idx.csa)
+    n1r = len(idx.r_coord)
+    small = n1r <= _DERIVE_SA_MAX and idx.sharp_bases is not None
+    if small:
+        # transfer-lean load: ship the 4-bit packed BWTs (n/2 bytes) and
+        # build the rank planes on device
+        ri_c = build_rank_index_device(
+            jnp.asarray(_pack4(idx.cbwt)), len(idx.cbwt), 5,
+            np.append(idx.c_l2, 0))
+        ri_r = build_rank_index_device(
+            jnp.asarray(_pack4(idx.rbwt)), len(idx.rbwt), 6,
+            np.append(idx.r_cumfreq, 0))
+    else:
+        ri_c = build_rank_index(idx.cbwt, 5, np.append(idx.c_l2, 0),
+                                C_SENTINEL)
+        ri_r = build_rank_index(idx.rbwt, 6, np.append(idx.r_cumfreq, 0),
+                                R_SENTINEL)
     if idx.r_lkt_sp is None:
         raise ValueError("index missing r_lkt tables; rebuild with current version")
     if sa_mode == "sampled":
@@ -253,8 +296,12 @@ def to_device_index(idx: SaltIndex, sa_mode: str = "full",
         c_sa_len = 1
     else:
         sampled = None
-        sa_cat = jnp.asarray(np.concatenate([idx.csa, idx.r_coord]))
-        c_sa_len = len(idx.csa)
+        if small:
+            sam = build_sampled_sa(idx, sa_intv)
+            sa_cat = _derive_sa_cat(sam, ri_c, ri_r, n1c=n1c, n1r=n1r)
+        else:
+            sa_cat = jnp.asarray(np.concatenate([idx.csa, idx.r_coord]))
+        c_sa_len = n1c
     if idx.l_pac <= _DEVICE_LKT_MAX:
         lkt = _device_lkt(jnp.asarray(idx.pac), k=12)
         r_lkt_sp, r_lkt_ep = _device_r_lkt(ri_r, k=12)
