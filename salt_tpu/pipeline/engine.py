@@ -64,6 +64,11 @@ class SEOptions:
     batch_size: int = 4096
     gap_batch: int = 64
     k_hits: int = 16
+    # SE-only: shrink the per-strand hit-list width to 8 when max_hits
+    # is small (set_hits consumes at most max_hits+1 entries per strand,
+    # query.c:297-333), halving the packed result download per batch.
+    # PE keeps the full width — pairing2 crosses whole hit lists.
+    auto_k_hits: bool = True
     cap_margin: int = 128
     verify_width: int = 64   # compact unique-candidate width (u)
     fast_cap: int = 0        # >0: locate slots in the fast pass; reads
@@ -185,6 +190,8 @@ class SEAligner:
     def __init__(self, index: SaltIndex, opts: SEOptions = None):
         self.index = index
         self.opts = opts or SEOptions()
+        if self.opts.auto_k_hits and self.opts.max_hits <= 6:
+            self.opts.k_hits = min(self.opts.k_hits, 8)
         if self.opts.sa_mode == "sampled":
             self.dix, self.sampled = to_device_index(
                 index, sa_mode="sampled", sa_intv=self.opts.sa_intv

@@ -95,6 +95,7 @@ class PEAligner:
         })
         se_opts.pe_locate = True
         se_opts.gap_k = 3
+        se_opts.auto_k_hits = False  # pairing2 crosses full hit lists
         self._se = SEAligner(index, se_opts)
         self._offsets = np.array([c.offset for c in index.contigs])
 
