@@ -63,6 +63,12 @@ def _watchdog():
     sys.stderr.write(
         f"[bench] watchdog: budget {_BUDGET:.0f}s exceeded, emitting "
         f"best-so-far ({_BEST['rate']:.1f} reads/s)\n")
+    try:
+        import faulthandler
+
+        faulthandler.dump_traceback(file=sys.stderr)  # where were we stuck?
+    except Exception:
+        pass
     _emit(_BEST["rate"])
     sys.stderr.flush()
     sys.stdout.flush()

@@ -76,10 +76,28 @@ def compact_loci(loci: Loci, checked: jnp.ndarray, u: int):
     ranks = jnp.arange(1, u + 1, dtype=jnp.int32)
     # index of the rank-th checked slot = #{j : csum[j] < rank}
     # (searchsorted side="left" as an all-compare reduction; the
-    # binary-search gather form was 5x slower on TPU, see locate.py)
-    src = jnp.sum(
-        csum[:, None, :] < ranks[None, :, None], axis=-1, dtype=jnp.int32
-    )                                                    # (B, u)
+    # binary-search gather form was 5x slower on TPU, see locate.py).
+    # The compare is chunked through a fori_loop: one fused
+    # (B, u, CAP) reduction put this program's XLA:TPU compile at
+    # 60-80s (the round's bench-budget hazard); a small loop body
+    # compiles in seconds at the same runtime cost.
+    CH = 128
+    if CAP % CH or CAP <= CH:
+        src = jnp.sum(
+            csum[:, None, :] < ranks[None, :, None], axis=-1,
+            dtype=jnp.int32,
+        )                                                # (B, u)
+    else:
+        def body(i, acc):
+            sl = jax.lax.dynamic_slice_in_dim(csum, i * CH, CH, axis=1)
+            return acc + jnp.sum(
+                sl[:, None, :] < ranks[None, :, None], axis=-1,
+                dtype=jnp.int32,
+            )
+
+        src = jax.lax.fori_loop(
+            0, CAP // CH, body, jnp.zeros((B, u), jnp.int32)
+        )
     keep = ranks[None, :] <= n_checked[:, None]
     pos = jnp.take_along_axis(loci.pos, jnp.clip(src, 0, CAP - 1), axis=-1)
     pos = jnp.where(keep, pos, jnp.asarray(UINT32_MAX, dtype=loci.pos.dtype))

@@ -34,6 +34,35 @@ from ..ops.verify import (
 )
 from .device_index import DeviceIndex
 
+import os as _os
+
+# The serialized executables of the verify-family programs are toxic to
+# LOAD through the relay terminal: a persistent-cache hit stalls the
+# deserialize/load RPC for 15-20+ minutes (observed repeatedly, round
+# 3), while a fresh compile takes ~60-80s.  First call per process runs
+# with the compilation cache disabled so these programs are always
+# compiled fresh and never written.  SALT_TPU_VERIFY_CACHE=1 restores
+# normal caching (e.g. for CPU test runs, where the cache is fine).
+_VERIFY_NO_CACHE = _os.environ.get("SALT_TPU_VERIFY_CACHE", "0") != "1"
+_nocache_done: set = set()
+
+
+def _nocache_first_call(tag: str, fn, *args, **kw):
+    key = (tag,) + tuple(
+        (tuple(a.shape), str(a.dtype))
+        for a in jax.tree_util.tree_leaves(args)
+        if hasattr(a, "shape")
+    ) + tuple(sorted(kw.items()))
+    if not _VERIFY_NO_CACHE or key in _nocache_done:
+        return fn(*args, **kw)
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+        return fn(*args, **kw)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
+        _nocache_done.add(key)
+
 
 class UngappedOut(NamedTuple):
     res: SEResult
@@ -192,7 +221,8 @@ def se_ungapped(
         dix, seq_f, seq_r, l_overlap=l_overlap, max_seed=max_seed,
         max_locate=max_locate, cap=cap, pe_mode=pe_mode, sampled=sampled,
     )
-    v, ovf = _se_verify(dix, seq2, lc, loc_ovf, u=u)
+    v, ovf = _nocache_first_call("verify", _se_verify, dix, seq2, lc,
+                                 loc_ovf, u=u)
     return _se_select(v, ovf, lc, k_hits=k_hits)
 
 
@@ -235,7 +265,8 @@ def se_ungapped_full(
     """Full-width verify fallback for reads whose unique-candidate count
     exceeded the compact width (rare).  Reuses located loci.  Split at
     the verify/replay boundary like se_ungapped (compile pathology)."""
-    v = _se_verify_full(dix, seq_f, seq_r, loci0, loci1)
+    v = _nocache_first_call("verify_full", _se_verify_full, dix, seq_f,
+                            seq_r, loci0, loci1)
     return _se_select_res(v, k_hits=k_hits)
 
 
@@ -316,5 +347,6 @@ def se_gapped(
 ) -> GappedOut:
     """Gapped (Landau-Vishkin) check, split at the verify/replay
     boundary like se_ungapped (XLA:TPU fusion-pass compile pathology)."""
-    v, ovf = _se_gapped_verify(dix, seq_f, seq_r, loci0, loci1, k=k, u=u)
+    v, ovf = _nocache_first_call("gapped_verify", _se_gapped_verify, dix,
+                                 seq_f, seq_r, loci0, loci1, k=k, u=u)
     return _se_gapped_select(v, ovf, k=k, k_hits=k_hits)

@@ -5,6 +5,8 @@ import sys
 # Tests run on the CPU backend with 8 virtual devices so sharding tests
 # exercise a real multi-device mesh without TPU hardware.
 os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon default
+# CPU cache entries load fine; the no-cache guard is a TPU-relay fix
+os.environ.setdefault("SALT_TPU_VERIFY_CACHE", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
