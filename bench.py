@@ -33,21 +33,26 @@ _T0 = time.time()
 _BEST = {"rate": 0.0, "printed": False, "lock": threading.Lock()}
 
 
-def _emit(rate):
-    print(json.dumps({
+def _emit(rate, aborted=False):
+    rec = {
         "metric": "se_reads_per_sec_per_chip",
         "value": round(rate, 1),
         "unit": "reads/s",
         "vs_baseline": round(rate / BASELINE_READS_PER_SEC, 3),
-    }), flush=True)
+    }
+    if aborted:
+        # mark partial/failed runs so the driver's parsed JSON can tell
+        # a best-so-far emission from a clean measurement
+        rec["aborted"] = True
+    print(json.dumps(rec), flush=True)
 
 
-def _finish(rate):
+def _finish(rate, aborted=False):
     with _BEST["lock"]:
         if _BEST["printed"]:
             return
         _BEST["printed"] = True
-    _emit(rate)
+    _emit(rate, aborted=aborted)
 
 
 def _watchdog():
@@ -69,7 +74,7 @@ def _watchdog():
         faulthandler.dump_traceback(file=sys.stderr)  # where were we stuck?
     except Exception:
         pass
-    _emit(_BEST["rate"])
+    _emit(_BEST["rate"], aborted=_BEST["rate"] == 0.0)
     sys.stderr.flush()
     sys.stdout.flush()
     os._exit(0)
@@ -228,4 +233,4 @@ if __name__ == "__main__":
         traceback.print_exc()
         sys.stderr.write(f"[bench] aborted by {type(e).__name__}; emitting "
                          f"best-so-far ({_BEST['rate']:.1f} reads/s)\n")
-        _finish(_BEST["rate"])
+        _finish(_BEST["rate"], aborted=True)

@@ -67,8 +67,14 @@ def resolve_sampled(sampled, ri_c, ri_r, rank, is_r, active):
     done0 = ~active | jnp.where(is_r, r_done(k0), c_done(k0))
     steps0 = jnp.zeros_like(k0)
 
+    # hard trip bound: C walks stop within intv-1 steps (text-position
+    # sampling), R walks within the longest local-pattern segment.  The
+    # bound guarantees termination even on degenerate lanes (e.g. a
+    # zero-SNP index has NO '#' ranks, so r_done can never fire).
+    max_steps = max(int(s.intv), int(s.max_r_walk)) + 1
+
     def cond(st):
-        return jnp.any(~st[2])
+        return jnp.any(~st[2]) & (st[1].max() < max_steps)
 
     def body(st):
         k, steps, done = st

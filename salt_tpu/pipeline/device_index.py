@@ -156,6 +156,13 @@ def build_sampled_sa(idx: SaltIndex, intv: int = 8) -> SampledSA:
         raise ValueError("index missing sharp_bases; rebuild with current "
                          "version for sa_mode='sampled'")
     sharp_base = idx.sharp_bases
+    if len(sharp_base) == 0:
+        # zero-SNP index (plain genome, empty hapmap — reference plain
+        # mode via Index_src/index1.c with an empty SNP file): no local
+        # patterns, no '#' ranks.  Keep one dummy entry so gathers stay
+        # in-bounds; sharp_lo == sharp_hi already makes every R lane
+        # unreachable, and the walk bound below guarantees termination.
+        sharp_base = np.array([0x80000000], dtype=np.uint32)
     return SampledSA(
         c_sel=jnp.asarray(c_sel),
         c_samples=jnp.asarray(c_samples),
@@ -243,9 +250,9 @@ _DEVICE_LKT_MAX = int(os.environ.get("SALT_TPU_DEVICE_LKT_MAX", str(1 << 26)))
 _DERIVE_SA_MAX = int(os.environ.get("SALT_TPU_DERIVE_SA_MAX", str(1 << 25)))
 
 
-@_partial(jax.jit, static_argnames=("n1c", "n1r"))
+@_partial(jax.jit, static_argnames=("n1c", "n1r", "n_sharp"))
 def _derive_sa_cat(sampled: "SampledSA", ri_c: RankIndex, ri_r: RankIndex,
-                   n1c: int, n1r: int) -> jnp.ndarray:
+                   n1c: int, n1r: int, n_sharp: int) -> jnp.ndarray:
     """Derive the full-table sa_cat (csa ++ r_coord) on device by
     resolving every rank through the sampled-SA walk (ops/locate.py
     resolve_sampled) — the walk reproduces the full-table values for
@@ -257,9 +264,15 @@ def _derive_sa_cat(sampled: "SampledSA", ri_c: RankIndex, ri_r: RankIndex,
     kc = jnp.arange(n1c, dtype=jnp.int32)
     csa = resolve_sampled(sampled, ri_c, ri_r, kc,
                           jnp.zeros((n1c,), bool), jnp.ones((n1c,), bool))
-    kr = jnp.arange(n1r, dtype=jnp.int32)
-    rco = resolve_sampled(sampled, ri_c, ri_r, kr,
-                          jnp.ones((n1r,), bool), jnp.ones((n1r,), bool))
+    if n_sharp == 0:
+        # zero-SNP index: no segments -> pos2coord is all UINT32_MAX, so
+        # every r_coord entry is UINT32_MAX (index/build.py:450,480) —
+        # no walk needed (and the R walk has no '#' anchors to stop at)
+        rco = jnp.full((n1r,), 0xFFFFFFFF, jnp.uint32)
+    else:
+        kr = jnp.arange(n1r, dtype=jnp.int32)
+        rco = resolve_sampled(sampled, ri_c, ri_r, kr,
+                              jnp.ones((n1r,), bool), jnp.ones((n1r,), bool))
     return jnp.concatenate([csa, rco])
 
 
@@ -273,7 +286,11 @@ def to_device_index(idx: SaltIndex, sa_mode: str = "full",
 
     n1c = len(idx.csa)
     n1r = len(idx.r_coord)
-    small = n1r <= _DERIVE_SA_MAX and idx.sharp_bases is not None
+    # gate on BOTH rank counts: _derive_sa_cat LF-walks all n1c C ranks
+    # too, and a large genome with a small SNP overlay would otherwise
+    # pay an enormous device walk (advisor finding, round 3)
+    small = (max(n1c, n1r) <= _DERIVE_SA_MAX
+             and idx.sharp_bases is not None)
     if small:
         # transfer-lean load: ship the 4-bit packed BWTs (n/2 bytes) and
         # build the rank planes on device
@@ -298,7 +315,8 @@ def to_device_index(idx: SaltIndex, sa_mode: str = "full",
         sampled = None
         if small:
             sam = build_sampled_sa(idx, sa_intv)
-            sa_cat = _derive_sa_cat(sam, ri_c, ri_r, n1c=n1c, n1r=n1r)
+            sa_cat = _derive_sa_cat(sam, ri_c, ri_r, n1c=n1c, n1r=n1r,
+                                    n_sharp=len(idx.sharp_bases))
         else:
             sa_cat = jnp.asarray(np.concatenate([idx.csa, idx.r_coord]))
         c_sa_len = n1c

@@ -191,7 +191,11 @@ class SEAligner:
         self.index = index
         self.opts = opts or SEOptions()
         if self.opts.auto_k_hits and self.opts.max_hits <= 6:
-            self.opts.k_hits = min(self.opts.k_hits, 8)
+            # copy before adjusting: the caller's options object may be
+            # shared across aligners and must not be mutated
+            import dataclasses as _dc
+            self.opts = _dc.replace(
+                self.opts, k_hits=min(self.opts.k_hits, 8))
         if self.opts.sa_mode == "sampled":
             self.dix, self.sampled = to_device_index(
                 index, sa_mode="sampled", sa_intv=self.opts.sa_intv

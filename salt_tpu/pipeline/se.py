@@ -58,10 +58,14 @@ def _nocache_first_call(tag: str, fn, *args, **kw):
     old = jax.config.jax_compilation_cache_dir
     try:
         jax.config.update("jax_compilation_cache_dir", None)
-        return fn(*args, **kw)
+        out = fn(*args, **kw)
     finally:
         jax.config.update("jax_compilation_cache_dir", old)
-        _nocache_done.add(key)
+    # mark done only on success: a retried first call after a failure
+    # must still run uncached, or the retry could persist exactly the
+    # executable this guard keeps out of the cache
+    _nocache_done.add(key)
+    return out
 
 
 class UngappedOut(NamedTuple):

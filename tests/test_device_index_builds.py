@@ -69,6 +69,28 @@ def test_device_rank_planes_match_host(small_index):
         assert np.array_equal(np.asarray(dev.bc), np.asarray(host.bc))
 
 
+def test_zero_snp_index_loads_all_modes(small_index):
+    """Round-3 regression guard: an index with NO SNPs (empty
+    sharp_bases, no '#' ranks) must load in full mode (derived sa_cat
+    — the crash site, advisor r3 high) AND sampled mode."""
+    from salt_tpu.pipeline.device_index import to_device_index
+
+    idx0 = build_index_from_data(
+        [("c1", "t", "".join(
+            "ACGT"[c] for c in np.random.default_rng(3).choice(4, 20000)))],
+        [],
+        l_seed=19,
+    )
+    assert len(idx0.sharp_bases) == 0
+    dix = to_device_index(idx0)
+    dev = np.asarray(dix.sa_cat)
+    n1c = len(idx0.csa)
+    assert np.array_equal(dev[:n1c], idx0.csa)
+    assert np.all(dev[n1c:] == 0xFFFFFFFF)
+    dix2, sampled = to_device_index(idx0, sa_mode="sampled")
+    assert sampled.sharp_base.shape[0] == 1  # padded dummy slot
+
+
 def test_derived_sa_cat_matches_host(small_index):
     from salt_tpu.pipeline.device_index import to_device_index
 

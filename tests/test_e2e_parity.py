@@ -78,6 +78,40 @@ def test_se_sam_byte_parity(compat_index):
 
 
 @requires_oracle
+def test_plain_index_se_sam_byte_parity(tmp_path):
+    """Zero-SNP (plain-genome) mode end to end vs the reference binary.
+
+    The reference binary segfaults on a truly empty hapmap (its R-BWT
+    construction, 4bit_bwt_gen.c, cannot take an empty text), so the
+    oracle is built with a decoy contig carrying the only SNP — reads
+    never seed into the decoy's local patterns, making its SAM equal to
+    a plain alignment (see tools/make_oracle.sh).  Our side builds from
+    the SAME fasta with an EMPTY SNP file, exercising the real no-SNP
+    path (empty sharp_bases — the round-3 regression's trigger)."""
+    from salt_tpu.index.build import build_index
+    from salt_tpu.pipeline.engine import SEAligner, SEOptions
+
+    if not os.path.exists(f"{ORACLE}/plain_g.fa"):
+        pytest.skip("plain oracle not present (rerun tools/make_oracle.sh)")
+    empty = tmp_path / "empty.txt"
+    empty.write_text("")
+    idx = build_index(f"{ORACLE}/plain_g.fa", str(empty), l_seed=19,
+                      r_anchor_mode="reference_compat")
+    assert len(idx.sharp_bases) == 0  # truly zero-SNP
+    opts = SEOptions(l_overlap=1, max_locate=500, print_nm_md=True,
+                     print_xa_cigar=True, batch_size=256, gap_batch=32)
+    al = SEAligner(idx, opts)
+    recs = _read_n(f"{ORACLE}/Read1.fq", 256)
+    out = al.align_records(recs)
+    oracle = _oracle_lines(f"{ORACLE}/se_plain_oracle.sam", len(out))
+    n_diff = sum(1 for a, b in zip(out, oracle) if a != b)
+    assert n_diff == 0, (
+        f"{n_diff}/{len(out)} plain-index records diverge; "
+        f"first: {next((a, b) for a, b in zip(out, oracle) if a != b)}"
+    )
+
+
+@requires_oracle
 def test_pe_sam_byte_parity(compat_index):
     from salt_tpu.pipeline.pe_engine import PEAligner, PEOptions
 

@@ -36,6 +36,39 @@ fi
 [ -f se_oracle.sam ] || $BUILD/Bin/salt -d -r 1 -l 100 -n 20 -c -m 500 -t 1 idx Read1.fq > se_oracle.sam 2> se.log
 [ -f pe_oracle.sam ] || $BUILD/Bin/salt -d -p -e -l 100 -c -a 350 -b 650 -r 5 -t 1 idx Read1.fq Read2.fq > pe_oracle.sam 2> pe.log
 
+# ---- plain-genome (zero-SNP) oracle ----
+# The reference binary SEGFAULTS on a truly empty hapmap (R-part BWT
+# construction on an empty local-pattern text, 4bit_bwt_gen.c), so true
+# plain mode has no direct oracle.  Decoy trick instead: append a tiny
+# random contig and put the ONLY SNP on it — reads (wgsim from the real
+# genome) can never seed into the decoy's 19bp local patterns, so the
+# reference's SAM equals a plain alignment to genome+decoy.  The rebuild
+# is then tested with the SAME fasta and an EMPTY SNP file (its real
+# zero-SNP path) and must byte-match.
+if [ ! -f se_plain_oracle.sam ]; then
+  : > empty_hapmap.txt
+  python3 - "$G" <<'EOF'
+import random, sys
+random.seed(1234)
+decoy = ''.join(random.choice('ACGT') for _ in range(60))
+with open(sys.argv[1]) as f: g = f.read()
+# decoy FIRST: the reference's hapmap reader consumes one SNP block per
+# contig in FASTA order, so the decoy's block must be hit while the
+# decoy contig is the one being processed (localPattern.c:75-82)
+with open('plain_g.fa', 'w') as f:
+    f.write('>decoy\n' + decoy + '\n')
+    f.write(g)
+    if not g.endswith('\n'): f.write('\n')
+ref = decoy[29]  # 1-based pos 30
+alt = {'A':'G','C':'T','G':'A','T':'C'}[ref]
+al = '/'.join(sorted([ref, alt]))
+with open('decoy_hapmap.txt', 'w') as f:
+    f.write(f"decoy\t30\t{al}\t{ref}\n")
+EOF
+  $BUILD/Bin/salt-idx -k 19 plain_g.fa decoy_hapmap.txt plainref 2> plain_idx.log
+  $BUILD/Bin/salt -d -r 1 -l 100 -n 20 -c -m 500 -t 1 plainref Read1.fq > se_plain_oracle.sam 2> se_plain.log
+fi
+
 # ---- micro fixture: 300bp genome, one SNP, one alt-allele read ----
 mkdir -p $MICRO
 cd $MICRO
