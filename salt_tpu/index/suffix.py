@@ -28,28 +28,24 @@ def _try_load_sais():
     if _SAIS_TRIED:
         return _SAIS
     _SAIS_TRIED = True
-    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    for cand in (
-        os.path.join(here, "tools", "libsaltnative.so"),
-        os.path.join(os.path.dirname(__file__), "libsaltnative.so"),
-    ):
-        if os.path.exists(cand):
-            lib = ctypes.CDLL(cand)
-            lib.salt_sais_u8.argtypes = [
+    from ..utils.native import load_native
+
+    lib = load_native()  # auto-builds tools/libsaltnative.so with g++
+    if lib is not None and hasattr(lib, "salt_sais_u8"):
+        lib.salt_sais_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+        ]
+        lib.salt_sais_u8.restype = ctypes.c_int
+        if hasattr(lib, "salt_sais_u8_i32"):
+            lib.salt_sais_u8_i32.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8),
-                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int64,
             ]
-            lib.salt_sais_u8.restype = ctypes.c_int
-            if hasattr(lib, "salt_sais_u8_i32"):
-                lib.salt_sais_u8_i32.argtypes = [
-                    ctypes.POINTER(ctypes.c_uint8),
-                    ctypes.POINTER(ctypes.c_int32),
-                    ctypes.c_int64,
-                ]
-                lib.salt_sais_u8_i32.restype = ctypes.c_int
-            _SAIS = lib
-            break
+            lib.salt_sais_u8_i32.restype = ctypes.c_int
+        _SAIS = lib
     return _SAIS
 
 

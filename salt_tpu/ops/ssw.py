@@ -403,28 +403,20 @@ def _try_load_native():
         return _NATIVE
     _NATIVE_TRIED = True
     import ctypes
-    import os
 
-    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    for cand in (
-        os.path.join(here, "tools", "libsaltnative.so"),
-        os.path.join(os.path.dirname(__file__), "libsaltnative.so"),
-    ):
-        if os.path.exists(cand):
-            lib = ctypes.CDLL(cand)
-            try:
-                fn = lib.salt_ssw_align
-            except AttributeError:
-                continue
-            c = ctypes
-            fn.argtypes = [
-                c.POINTER(c.c_int8), c.c_int, c.POINTER(c.c_int8), c.c_int,
-                c.POINTER(c.c_int8), c.c_int, c.c_int, c.c_int, c.c_int,
-                c.c_int, c.POINTER(c.c_int32), c.POINTER(c.c_uint32), c.c_int,
-            ]
-            fn.restype = c.c_int
-            _NATIVE = fn
-            break
+    from ..utils.native import load_native
+
+    lib = load_native()  # auto-builds tools/libsaltnative.so with g++
+    if lib is not None and hasattr(lib, "salt_ssw_align"):
+        fn = lib.salt_ssw_align
+        c = ctypes
+        fn.argtypes = [
+            c.POINTER(c.c_int8), c.c_int, c.POINTER(c.c_int8), c.c_int,
+            c.POINTER(c.c_int8), c.c_int, c.c_int, c.c_int, c.c_int,
+            c.c_int, c.POINTER(c.c_int32), c.POINTER(c.c_uint32), c.c_int,
+        ]
+        fn.restype = c.c_int
+        _NATIVE = fn
     return _NATIVE
 
 
