@@ -198,7 +198,7 @@ def _gen_local_patterns(
         # and never restores (localPattern.c:295), so later windows see the
         # previous window's final combination at already-processed SNP
         # positions — replicated via this mutable working copy.
-        work = np.frombuffer(seq.encode("latin1"), dtype=np.uint8).copy()
+        work = np.asarray(seq, dtype=np.uint8).copy()
         mid = 0
         while mid < nsnp:
             # comparisons are uint32 in the reference (localPattern.c:241,
@@ -352,9 +352,15 @@ def build_index_from_data(
         bit-parity scoring against the reference binary.
     """
     contigs: List[Contig] = []
-    contig_seqs: List[str] = []
+    contig_seqs: List[np.ndarray] = []   # uint8 ASCII char arrays
     offset = 0
     for name, anno, seq in contig_data:
+        # whole-genome builds pass raw uint8 char arrays to skip the
+        # 1 byte/char python-str detour (3.1GB at GRCh38 scale)
+        if isinstance(seq, str):
+            seq = np.frombuffer(seq.encode("latin1"), dtype=np.uint8)
+        else:
+            seq = np.asarray(seq, dtype=np.uint8)
         contig_seqs.append(seq)
         contigs.append(
             Contig(name=name, anno=anno, offset=offset, length=len(seq))
@@ -369,17 +375,17 @@ def build_index_from_data(
             f"genome too long for uint32 coordinates ({l_pac} bases); "
             "shard the reference (parallel/sharded.py) instead"
         )
-    genome = "".join(contig_seqs)
-    raw_codes = encode_seq(genome)
+    gchars = (contig_seqs[0] if len(contig_seqs) == 1
+              else np.concatenate(contig_seqs)) if contig_seqs else \
+        np.zeros(0, np.uint8)
+    raw_codes = NST_NT4_TABLE[gchars]
 
     # --- pac with deterministic N randomization (srand48(11)) ---
     pac = _randomize_ns(raw_codes, Rand48(BNS_RANDOM_SEED))
     # count amb holes per contig for parity bookkeeping
     for ci, c in enumerate(contigs):
         seg = raw_codes[c.offset : c.offset + c.length]
-        chars = np.frombuffer(genome.encode("latin1"), dtype=np.uint8)[
-            c.offset : c.offset + c.length
-        ]
+        chars = gchars[c.offset : c.offset + c.length]
         amb = seg >= 4
         if amb.any():
             # runs of identical raw chars (bntseq.c:204-218)
@@ -389,10 +395,11 @@ def build_index_from_data(
                 | (chars[idx[1:]] != chars[idx[:-1]])
             )[0]
             c.n_ambs = 1 + len(breaks)
+    del raw_codes
 
     # --- mixRef (mixRef.c: FASTA chars -> nibbles, OR SNP alleles per
     #     block applied to contigs in file order, no name check) ---
-    mixref = NT5_4BIT_TABLE[np.frombuffer(genome.encode("latin1"), dtype=np.uint8)].copy()
+    mixref = NT5_4BIT_TABLE[gchars]
     for ci, c in enumerate(contigs):
         if ci >= len(blocks):
             break
@@ -411,10 +418,15 @@ def build_index_from_data(
     counts = np.bincount(pac, minlength=4)[:4]
     c_l2 = np.zeros(5, dtype=np.uint32)
     c_l2[1:] = np.cumsum(counts).astype(np.uint32)
-    # int32 SA reinterprets as uint32 zero-copy (values are positive);
-    # the astype on the int64 path is the only transient
-    csa = (csa64.view(np.uint32) if csa64.dtype == np.int32
-           else csa64.astype(np.uint32))
+    # int32 SA reinterprets as uint32 zero-copy (values are positive),
+    # uint32 (whole-genome u32 SA-IS) passes through; the astype on the
+    # int64 path is the only transient
+    if csa64.dtype == np.uint32:
+        csa = csa64
+    elif csa64.dtype == np.int32:
+        csa = csa64.view(np.uint32)
+    else:
+        csa = csa64.astype(np.uint32)
     del csa64
     csa[0] = UINT32_MAX  # bwt_cal_sa sets sa[0] = -1 (bwt.c:66)
 

@@ -45,6 +45,13 @@ def _try_load_sais():
                 ctypes.c_int64,
             ]
             lib.salt_sais_u8_i32.restype = ctypes.c_int
+        if hasattr(lib, "salt_sais_u8_u32"):
+            lib.salt_sais_u8_u32.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.c_int64,
+            ]
+            lib.salt_sais_u8_u32.restype = ctypes.c_int
         _SAIS = lib
     return _SAIS
 
@@ -62,25 +69,24 @@ def suffix_array(text: np.ndarray) -> np.ndarray:
     n = len(text)
     lib = _try_load_sais()
     if lib is not None and n > 1 << 16:
-        use32 = n + 1 < (1 << 31) and hasattr(lib, "salt_sais_u8_i32")
-        dt = np.int32 if use32 else np.int64
+        if n + 1 < (1 << 31) and hasattr(lib, "salt_sais_u8_i32"):
+            dt, fname, cptr = np.int32, "salt_sais_u8_i32", ctypes.c_int32
+        elif n + 1 < (1 << 32) - 1 and hasattr(lib, "salt_sais_u8_u32"):
+            # whole-genome scale (GRCh38 ~3.1G): uint32 storage halves
+            # the SA-IS working set vs int64 (~40GB total at 3.1G)
+            dt, fname, cptr = np.uint32, "salt_sais_u8_u32", ctypes.c_uint32
+        else:
+            dt, fname, cptr = np.int64, "salt_sais_u8", ctypes.c_int64
         sa = np.empty(n + 1, dtype=dt)
         sa[0] = n
         if n > 0:
             body = np.ascontiguousarray(text, dtype=np.uint8)
             out = np.empty(n, dtype=dt)
-            if use32:
-                rc = lib.salt_sais_u8_i32(
-                    body.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                    np.int64(n),
-                )
-            else:
-                rc = lib.salt_sais_u8(
-                    body.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                    np.int64(n),
-                )
+            rc = getattr(lib, fname)(
+                body.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                out.ctypes.data_as(ctypes.POINTER(cptr)),
+                np.int64(n),
+            )
             if rc != 0:
                 raise RuntimeError("salt_sais failed")
             sa[1:] = out
@@ -126,9 +132,10 @@ def bwt_from_sa(text: np.ndarray, sa: np.ndarray, sentinel_code: int) -> tuple[n
     """
     if len(text) == 0:  # zero-SNP index: R text is just the sentinel
         return np.array([sentinel_code], dtype=np.uint8), 0
-    prev = sa - 1
     primary = int(np.nonzero(sa == 0)[0][0])
-    prev_clip = np.where(prev < 0, 0, prev)
+    # unsigned-safe (sa may be uint32 at whole-genome scale): clamp the
+    # primary row instead of testing prev < 0
+    prev_clip = np.where(sa == 0, 0, sa - 1)
     bwt = text[prev_clip].astype(np.uint8)
     bwt[primary] = sentinel_code
     return bwt, primary

@@ -34,9 +34,12 @@ class LocateOut(NamedTuple):
 
 
 def _get4(words: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
-    """4-bit packed symbol at index k (8 per uint32 word)."""
-    w = words[jnp.clip(k >> 3, 0, words.shape[0] - 1)].astype(jnp.uint32)
-    return ((w >> ((k & 7).astype(jnp.uint32) * 4)) & 15).astype(jnp.int32)
+    """4-bit packed symbol at index k (8 per uint32 word).  k is a rank
+    carried in int32, possibly wrapped for whole-genome texts — shift
+    through uint32 (word index < 2^29 fits int32 again)."""
+    ku = k.astype(jnp.uint32)
+    w = words[jnp.clip((ku >> 3).astype(jnp.int32), 0, words.shape[0] - 1)]
+    return ((w.astype(jnp.uint32) >> ((ku & 7) * 4)) & 15).astype(jnp.int32)
 
 
 def resolve_sampled(sampled, ri_c, ri_r, rank, is_r, active):
@@ -46,24 +49,33 @@ def resolve_sampled(sampled, ri_c, ri_r, rank, is_r, active):
     segment's leading '#' rank (<= max local-pattern length).  Exactly
     reproduces the full-table values, including the csa[0] quirk and
     UINT32_MAX at '#' positions."""
-    from .rank import rank_excl
+    from .rank import rank_excl, umin
 
     s = sampled
     n1c = ri_c.n
     n1r = ri_r.n
+    # rank values are carried in int32 and may be WRAPPED for
+    # whole-genome C texts (n1c >= 2^31); every comparison/clip/shift on
+    # them goes through uint32.  Bounds as uint32 scalars (a python int
+    # >= 2^31 cannot become an int32 literal).
+    bound_c = jnp.uint32(n1c - 1)
+    bound_r = jnp.uint32(n1r - 1)
 
     def sel_row(k):
-        return s.c_sel[jnp.clip(k >> 5, 0, s.c_sel.shape[0] - 1)]
+        w = (k.astype(jnp.uint32) >> 5).astype(jnp.int32)
+        return s.c_sel[jnp.clip(w, 0, s.c_sel.shape[0] - 1)]
 
     def c_done(k):
         row = sel_row(k)
-        bit = (row[..., 1].astype(jnp.uint32) >> (k & 31).astype(jnp.uint32)) & 1
+        bit = (row[..., 1].astype(jnp.uint32)
+               >> (k.astype(jnp.uint32) & 31)) & 1
         return bit == 1
 
     def r_done(k):
+        # R ranks are genuinely small (local-pattern text < 2^31)
         return (k >= s.sharp_lo) & (k < s.sharp_hi)
 
-    k0 = jnp.clip(rank, 0, jnp.where(is_r, n1r - 1, n1c - 1))
+    k0 = umin(rank, jnp.where(is_r, bound_r, bound_c))
     done0 = ~active | jnp.where(is_r, r_done(k0), c_done(k0))
     steps0 = jnp.zeros_like(k0)
 
@@ -81,11 +93,11 @@ def resolve_sampled(sampled, ri_c, ri_r, rank, is_r, active):
         sym_c = _get4(s.c_syms, k)
         sym_r = _get4(s.r_syms, k)
         kc = ri_c.cfreq[jnp.clip(sym_c, 0, 5)] + rank_excl(
-            ri_c, jnp.clip(k, 0, n1c), jnp.clip(sym_c, 0, 4)) + 1
+            ri_c, umin(k, jnp.uint32(n1c)), jnp.clip(sym_c, 0, 4)) + 1
         kr = ri_r.cfreq[jnp.clip(sym_r, 0, 6)] + rank_excl(
-            ri_r, jnp.clip(k, 0, n1r), jnp.clip(sym_r, 0, 5)) + 1
-        kn = jnp.clip(jnp.where(is_r, kr, kc), 0,
-                      jnp.where(is_r, n1r - 1, n1c - 1))
+            ri_r, umin(k, jnp.uint32(n1r)), jnp.clip(sym_r, 0, 5)) + 1
+        kn = umin(jnp.where(is_r, kr, kc),
+                  jnp.where(is_r, bound_r, bound_c))
         k = jnp.where(done, k, kn)
         steps = steps + (~done).astype(jnp.int32)
         done = done | jnp.where(is_r, r_done(k), c_done(k))
@@ -94,7 +106,7 @@ def resolve_sampled(sampled, ri_c, ri_r, rank, is_r, active):
     k, steps, _ = jax.lax.while_loop(cond, body, (k0, steps0, done0))
 
     row = sel_row(k)
-    kl = (k & 31).astype(jnp.uint32)
+    kl = k.astype(jnp.uint32) & 31
     mask = jnp.where(kl > 0, (jnp.uint32(1) << kl) - jnp.uint32(1),
                      jnp.uint32(0))
     slot_c = row[..., 0] + jax.lax.population_count(
@@ -142,7 +154,17 @@ def locate(
     B, S = c_seeds.sp.shape
 
     def fam(seeds: Seeds, is_r: bool):
-        width = seeds.ep - seeds.sp  # can be negative for invalid seeds
+        # ep - sp is mod-2^32 exact; the signed clamp at 2^28-1 keeps
+        # count/cum arithmetic inside int32 for whole-genome-scale
+        # intervals (a seed with >2^28 candidates saturates the slot
+        # capacity regardless, so the clamp never changes which loci
+        # are materialized) while preserving the negative-width "empty
+        # interval" semantics (sp = ep + 1 -> width -1 -> zero count).
+        # A true width >= 2^31 (one seed interval covering half the
+        # text) wraps negative and yields no candidates — accepted:
+        # such a seed is pure repeat noise and the reference would
+        # spend hours walking it.
+        width = jnp.minimum(seeds.ep - seeds.sp, jnp.int32(2**28 - 1))
         if pe_mode:
             if is_r:
                 n_skip = jnp.where(width > max_locate,

@@ -55,14 +55,18 @@ def lv_distance_batch(
     D = 2 * k + 1  # diagonals -k..k
 
     base = jnp.where(active, pos, 0)
-    tidx = base[:, None] + jnp.arange(TL, dtype=jnp.int32)
+    # positions may exceed 2^31 (whole-genome mixRef): do the word
+    # shift/mask through uint32, word index fits int32 again
+    tidx = (base[:, None].astype(jnp.uint32)
+            + jnp.arange(TL, dtype=jnp.uint32))
     if text_words:
-        widx = jnp.clip(tidx >> 3, 0, mixref.shape[0] - 1)
+        widx = jnp.clip((tidx >> 3).astype(jnp.int32), 0,
+                        mixref.shape[0] - 1)
         w = mixref[widx].astype(jnp.uint32)
-        text = ((w >> ((tidx & 7).astype(jnp.uint32) * 4)) & 15).astype(
+        text = ((w >> ((tidx & 7) * 4)) & 15).astype(
             jnp.uint8)
     else:
-        tidx = jnp.clip(tidx, 0, mixref.shape[0] - 1)
+        tidx = jnp.clip(tidx.astype(jnp.int32), 0, mixref.shape[0] - 1)
         text = mixref[tidx]                               # (N, TL) nibbles
     if pat_precoded:
         pat = seq.astype(jnp.uint8)

@@ -71,14 +71,16 @@ def build_rank_index(
     n = len(syms)
     W = (n + 2 + 31) // 32 + 1  # allow rank queries at idx up to n+1
     bc = np.zeros((n_sym, W, 2), dtype=np.int32)
-    pos = np.arange(n)
-    word = pos >> 5
-    bit = (pos & 31).astype(np.uint32)
+    # pad to exactly W*32 with a non-symbol so pad bits stay 0 in every
+    # plane; packbits(bitorder="little") + <u4 view builds each plane at
+    # memory bandwidth (the old bitwise_or.at scatter costs minutes at
+    # whole-genome scale)
+    pad = np.full(W * 32, 255, dtype=np.uint8)
+    pad[:n] = syms
     for c in range(n_sym):
-        mask = syms == c
-        bits_c = np.zeros(W, dtype=np.uint32)
-        np.bitwise_or.at(bits_c, word[mask], (np.uint32(1) << bit[mask]))
-        per_word = np.bincount(word[mask], minlength=W)
+        mask = pad == c
+        bits_c = np.packbits(mask, bitorder="little").view("<u4")
+        per_word = mask.reshape(W, 32).sum(axis=1, dtype=np.int64)
         bc[c, 1:, 0] = np.cumsum(per_word)[:-1]
         bc[c, :, 1] = bits_c.view(np.int32)
     return RankIndex(
@@ -134,10 +136,75 @@ def build_rank_index_device(packed_words: jnp.ndarray, n: int, n_sym: int,
     )
 
 
+@partial(jax.jit, static_argnames=("c", "n", "n_words", "chunk"))
+def _device_plane_chunked(words: jnp.ndarray, c: int, n: int, n_words: int,
+                          chunk: int = 1 << 18) -> jnp.ndarray:
+    """One (W, 2) rank plane for symbol c, built on device in
+    `chunk`-bit-word pieces — whole-genome texts (n >= 2^31) cannot
+    materialize the flat nibble array the small-path builder uses
+    (12GB+ transient), and shipping host-built planes through the relay
+    tunnel costs ~1.5n bytes.  The packed symbol words are already a
+    resident component in sampled mode, so this is transfer-free."""
+    W = n_words
+    NC = (W + chunk - 1) // chunk
+    need = NC * chunk * 4            # uint32 source words (8 syms each)
+    wpad = jnp.concatenate([
+        words.astype(jnp.uint32),
+        jnp.full((max(need - words.shape[0], 0),), 0xFFFFFFFF, jnp.uint32),
+    ])[:need]
+    sh = jnp.arange(8, dtype=jnp.uint32) * 4
+    bit_w = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+    nu = jnp.uint32(n)
+
+    def chunk_fn(ci):
+        src = jax.lax.dynamic_slice(wpad, (ci * chunk * 4,), (chunk * 4,))
+        nib = ((src[:, None] >> sh) & 15).reshape(-1)     # chunk*32
+        gidx = (jnp.uint32(ci) * jnp.uint32(chunk * 32)
+                + jnp.arange(chunk * 32, dtype=jnp.uint32))
+        nib = jnp.where(gidx < nu, nib, jnp.uint32(15))
+        eq = nib.reshape(chunk, 32) == jnp.uint32(c)
+        bits = jnp.sum(jnp.where(eq, bit_w, 0), axis=-1, dtype=jnp.uint32)
+        cnt = jax.lax.population_count(bits).astype(jnp.int32)
+        return bits, cnt
+
+    bits, cnt = jax.lax.map(chunk_fn, jnp.arange(NC, dtype=jnp.int32))
+    bits = bits.reshape(-1)[:W]
+    cnt = cnt.reshape(-1)[:W]
+    excl = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)[:-1]]
+    )
+    return jnp.stack([excl, bits.astype(jnp.int32)], axis=-1)
+
+
+def build_rank_index_device_chunked(packed_words: jnp.ndarray, n: int,
+                                    n_sym: int,
+                                    cfreq: np.ndarray) -> RankIndex:
+    """Whole-genome-scale device plane build (per-symbol, chunked).
+    Bit-identical to build_rank_index; bounded device transients."""
+    W = (n + 2 + 31) // 32 + 1
+    planes = [
+        _device_plane_chunked(packed_words, c=c, n=n, n_words=W)
+        for c in range(n_sym)
+    ]
+    return RankIndex(
+        bc=jnp.concatenate(planes, axis=0),
+        cfreq=jnp.asarray(np.asarray(cfreq).astype(np.int32)),
+        n=n,
+        n_words=W,
+    )
+
+
 def rank_excl(ri: RankIndex, idx: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
-    """Vectorized exclusive rank: #c in sym[0..idx-1].  idx int32 >= 0."""
-    w = idx >> 5
-    r = (idx & 31).astype(jnp.uint32)
+    """Vectorized exclusive rank: #c in sym[0..idx-1].
+
+    `idx` is a rank in [0, n+1] carried as int32 — for whole-genome
+    texts (n >= 2^31) the value may be WRAPPED negative; all arithmetic
+    on ranks is mod-2^32 correct, and this reads it back through uint32
+    so the word index/shift come out right.  The returned count is a
+    true int32 (per-symbol counts stay < 2^31 for any uint32 text)."""
+    iu = idx.astype(jnp.uint32)
+    w = (iu >> 5).astype(jnp.int32)          # < 2^27 for any uint32 text
+    r = iu & 31
     row = ri.bc[c * ri.n_words + w]         # (..., 2): one fused 1D gather
     word = row[..., 1].astype(jnp.uint32)
     mask = jnp.where(r > 0, (jnp.uint32(1) << r) - jnp.uint32(1), jnp.uint32(0))
@@ -145,9 +212,23 @@ def rank_excl(ri: RankIndex, idx: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     return row[..., 0] + partial_cnt
 
 
+def ugt(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Unsigned a > b for rank values carried (possibly wrapped) in
+    int32 — the comparison every interval-emptiness test must use so
+    whole-genome texts (ranks >= 2^31) order correctly."""
+    return a.astype(jnp.uint32) > jnp.asarray(b).astype(jnp.uint32)
+
+
+def umin(a: jnp.ndarray, b) -> jnp.ndarray:
+    """Unsigned minimum on wrapped-int32 rank values; returns int32."""
+    au = a.astype(jnp.uint32)
+    bu = jnp.asarray(b).astype(jnp.uint32)
+    return jnp.minimum(au, bu).astype(jnp.int32)
+
+
 def lf_step(ri: RankIndex, k: jnp.ndarray, l: jnp.ndarray, c: jnp.ndarray):
     """One backward-search step; returns (k', l').  Interval is empty when
-    k' > l'."""
+    k' > l' (compare with ugt: ranks may be wrapped)."""
     ok = rank_excl(ri, k, c)
     ol = rank_excl(ri, l + 1, c)
     base = ri.cfreq[c]

@@ -27,7 +27,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .rank import RankIndex, lf_step, rank_excl
+from .rank import RankIndex, lf_step, rank_excl, ugt
 
 
 class Seeds(NamedTuple):
@@ -45,7 +45,7 @@ def _match_backward(ri: RankIndex, chars, k0, l0, live0):
         k, l, alive = carry
         bad = c > 3
         kn, ln = lf_step(ri, k, l, jnp.where(bad, 0, c))
-        empty = kn > ln
+        empty = ugt(kn, ln)
         new_alive = alive & ~bad & ~empty
         k = jnp.where(new_alive, kn, k)
         l = jnp.where(new_alive, ln, l)
@@ -63,7 +63,7 @@ def _match_backward2(ri_a: RankIndex, ri_b: RankIndex, chars, sa, sb):
     def fam_step(ri, k, l, alive, c):
         bad = c > 3
         kn, ln = lf_step(ri, k, l, jnp.where(bad, 0, c))
-        new_alive = alive & ~bad & ~(kn > ln)
+        new_alive = alive & ~bad & ~ugt(kn, ln)
         return (jnp.where(new_alive, kn, k), jnp.where(new_alive, ln, l),
                 new_alive)
 
@@ -94,18 +94,18 @@ def _greedy_extend(ri: RankIndex, seq, p, k, l, valid, max_seed, check_n: bool):
         csafe = jnp.where(c > 4, 4, c)  # clamp pathological codes
         ok = rank_excl(ri, k, csafe)
         ol = rank_excl(ri, l + 1, csafe)
-        would_empty = ok + 1 > ol
+        would_empty = ok + 1 > ol  # counts, never wrapped
         do = active & ~bad & ~would_empty
         base = ri.cfreq[csafe]
         k = jnp.where(do, base + ok + 1, k)
         l = jnp.where(do, base + ol, l)
         l_ext = jnp.where(do, l_ext + 1, l_ext)
         # continue only if still too wide and room to extend
-        active = do & (l - k > max_seed) & (l_ext < p)
+        active = do & ugt(l - k, max_seed) & (l_ext < p)
         return k, l, l_ext, active
 
     l_ext0 = jnp.zeros_like(k)
-    active0 = valid & (l - k > max_seed) & (l_ext0 < p)
+    active0 = valid & ugt(l - k, max_seed) & (l_ext0 < p)
     k, l, l_ext, _ = jax.lax.while_loop(cond, body, (k, l, l_ext0, active0))
     return k, l, l_ext
 
@@ -123,13 +123,13 @@ def _greedy_extend2(ri_a, ri_b, seq, p, sa, sb, max_seed,
         csafe = jnp.where(c > 4, 4, c)
         ok = rank_excl(ri, k, csafe)
         ol = rank_excl(ri, l + 1, csafe)
-        would_empty = ok + 1 > ol
+        would_empty = ok + 1 > ol  # counts, never wrapped
         do = active & ~bad & ~would_empty
         base = ri.cfreq[csafe]
         k = jnp.where(do, base + ok + 1, k)
         l = jnp.where(do, base + ol, l)
         l_ext = jnp.where(do, l_ext + 1, l_ext)
-        active = do & (l - k > max_seed) & (l_ext < p)
+        active = do & ugt(l - k, max_seed) & (l_ext < p)
         return k, l, l_ext, active
 
     def cond(state):
@@ -142,7 +142,7 @@ def _greedy_extend2(ri_a, ri_b, seq, p, sa, sb, max_seed,
 
     def init(valid, k, l):
         l_ext0 = jnp.zeros_like(k)
-        return (k, l, l_ext0, valid & (l - k > max_seed) & (l_ext0 < p))
+        return (k, l, l_ext0, valid & ugt(l - k, max_seed) & (l_ext0 < p))
 
     (ka, la, ea, _), (kb, lb, eb, _) = jax.lax.while_loop(
         cond, body, (init(sa[2], sa[0], sa[1]), init(sb[2], sb[0], sb[1]))
@@ -184,7 +184,7 @@ def seed_overlap(
     kmer = jnp.sum(jnp.where(tail > 3, 0, tail) * pw, axis=-1)
     sp0 = jnp.where(has_n, 1, lkt[kmer].astype(jnp.int32))
     ep0 = jnp.where(has_n, 0, lkt[kmer + 1].astype(jnp.int32) - 1)
-    live0 = sp0 <= ep0
+    live0 = ~ugt(sp0, ep0)
     # LF over the remaining l_seed-12 bases, last-to-first
     head = win[..., : l_seed - l_lkt]                       # (B, S, l_seed-12)
     chars = jnp.moveaxis(head[..., ::-1], -1, 0)            # (steps, B, S)
@@ -198,7 +198,7 @@ def seed_overlap(
         rk0 = jnp.where(has_n, 1, r_lkt_sp[kmer].astype(jnp.int32))
         rl0 = jnp.where(has_n, 0, r_lkt_ep[kmer].astype(jnp.int32))
         (ck, cl, okc), (rk, rl, okr) = _match_backward2(
-            ri_c, ri_r, chars, (sp0, ep0, live0), (rk0, rl0, rk0 <= rl0)
+            ri_c, ri_r, chars, (sp0, ep0, live0), (rk0, rl0, ~ugt(rk0, rl0))
         )
         (ck, cl, ce), (rk, rl, re_) = _greedy_extend2(
             ri_c, ri_r, seq_b, p, (ck, cl, okc), (rk, rl, okr), max_seed,

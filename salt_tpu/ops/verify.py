@@ -132,9 +132,11 @@ def mismatch_counts_packed(
     L = seq.shape[-1]
     NW = (L + 7 + 7) // 8 + 1          # words covering any alignment
     NP = NW * 8
-    base = jnp.where(keep, pos, 0).astype(jnp.int32)
-    wstart = base >> 3
-    align = base & 7
+    # shift through uint32: positions >= 2^31 (whole-genome mixRef)
+    # must not arithmetic-shift as wrapped int32
+    base = jnp.where(keep, pos, jnp.uint32(0)).astype(jnp.uint32)
+    wstart = (base >> 3).astype(jnp.int32)   # word index < 2^29
+    align = (base & 7).astype(jnp.int32)
     widx = wstart[..., None] + jnp.arange(NW, dtype=jnp.int32)
     widx = jnp.clip(widx, 0, mixref_words.shape[0] - 1)
     words = mixref_words[widx].astype(jnp.uint32)       # (B, U, NW)

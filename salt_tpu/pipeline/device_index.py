@@ -9,9 +9,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import C_SENTINEL, R_SENTINEL
 from ..index.build import SaltIndex
-from ..ops.rank import RankIndex, build_rank_index
+from ..ops.rank import RankIndex
 
 
 @jax.tree_util.register_pytree_node_class
@@ -301,10 +300,18 @@ def to_device_index(idx: SaltIndex, sa_mode: str = "full",
             jnp.asarray(_pack4(idx.rbwt)), len(idx.rbwt), 6,
             np.append(idx.r_cumfreq, 0))
     else:
-        ri_c = build_rank_index(idx.cbwt, 5, np.append(idx.c_l2, 0),
-                                C_SENTINEL)
-        ri_r = build_rank_index(idx.rbwt, 6, np.append(idx.r_cumfreq, 0),
-                                R_SENTINEL)
+        # big indexes (up to whole-genome): still ship only the packed
+        # syms (n/2 bytes) and build planes on device, chunked so the
+        # transient stays bounded — host-built planes would triple the
+        # relay-tunnel transfer (~1.5n bytes)
+        from ..ops.rank import build_rank_index_device_chunked
+
+        ri_c = build_rank_index_device_chunked(
+            jnp.asarray(_pack4(idx.cbwt)), len(idx.cbwt), 5,
+            np.append(idx.c_l2, 0))
+        ri_r = build_rank_index_device_chunked(
+            jnp.asarray(_pack4(idx.rbwt)), len(idx.rbwt), 6,
+            np.append(idx.r_cumfreq, 0))
     if idx.r_lkt_sp is None:
         raise ValueError("index missing r_lkt tables; rebuild with current version")
     if sa_mode == "sampled":

@@ -486,8 +486,7 @@ class SEAligner:
             return None
 
         from ..constants import SW_GAP_EXTEND, SW_GAP_OPEN
-        from ..ops.sw_batch import sw_score_batch
-        from ..ops.sw_pallas import sw_score_batch_pallas
+        from ..ops.sw_batch import sw_score_dispatch
 
         mix = self.index.mixref
         W = L + 5
@@ -502,20 +501,10 @@ class SEAligner:
                 refs[k] = mix[pos : pos + W]
                 reads[k] = oh[strand]
                 k += 1
-        fn = (sw_score_batch_pallas if jax.default_backend() == "tpu"
-              else sw_score_batch)
-        try:
-            sc = np.asarray(fn(
-                jnp.asarray(refs), jnp.asarray(reads), jnp.asarray(lens),
-                snp_mode=True, gap_open=SW_GAP_OPEN,
-                gap_extend=SW_GAP_EXTEND,
-            ))
-        except Exception:  # Mosaic/compile failure: XLA fallback
-            sc = np.asarray(sw_score_batch(
-                jnp.asarray(refs), jnp.asarray(reads), jnp.asarray(lens),
-                snp_mode=True, gap_open=SW_GAP_OPEN,
-                gap_extend=SW_GAP_EXTEND,
-            ))
+        sc = np.asarray(sw_score_dispatch(
+            jnp.asarray(refs), jnp.asarray(reads), jnp.asarray(lens),
+            snp_mode=True, gap_open=SW_GAP_OPEN, gap_extend=SW_GAP_EXTEND,
+        ))
         out = []
         k = 0
         for _ri, _cf, _cr, cand in per_read:

@@ -477,8 +477,7 @@ class PEAligner:
             if len(items) < o.device_sw_min_batch:
                 return None
 
-        from ..ops.sw_batch import sw_score_batch
-        from ..ops.sw_pallas import sw_score_batch_pallas
+        from ..ops.sw_batch import sw_score_dispatch
 
         idx = self.index
         l_pac = idx.l_pac
@@ -522,15 +521,9 @@ class PEAligner:
                     # padding rows never raise the local max
                     reads[i, other.l_seq :] = 4
                     reads[i, : other.l_seq] = seq
-            fn = (sw_score_batch_pallas if jax.default_backend() == "tpu"
-                  else sw_score_batch)
-            try:
-                sc = np.asarray(fn(jnp.asarray(refs), jnp.asarray(reads),
-                                   jnp.asarray(lens), snp_mode=snp_mode))
-            except Exception:  # Mosaic/compile failure: XLA fallback
-                sc = np.asarray(sw_score_batch(
-                    jnp.asarray(refs), jnp.asarray(reads),
-                    jnp.asarray(lens), snp_mode=snp_mode))
+            sc = np.asarray(sw_score_dispatch(
+                jnp.asarray(refs), jnp.asarray(reads), jnp.asarray(lens),
+                snp_mode=snp_mode))
             for i, (pi, k, *_rest) in enumerate(live):
                 scores_map[pi][k] = int(sc[i])
         return scores_map

@@ -53,7 +53,8 @@ def test_device_lkt_tables_match_host(small_index):
 
 def test_device_rank_planes_match_host(small_index):
     from salt_tpu.constants import C_SENTINEL, R_SENTINEL
-    from salt_tpu.ops.rank import build_rank_index, build_rank_index_device
+    from salt_tpu.ops.rank import (build_rank_index, build_rank_index_device,
+                                   build_rank_index_device_chunked)
     from salt_tpu.pipeline.device_index import _pack4
     import jax.numpy as jnp
 
@@ -67,6 +68,18 @@ def test_device_rank_planes_match_host(small_index):
                                       n_sym, cfreq)
         assert dev.n == host.n and dev.n_words == host.n_words
         assert np.array_equal(np.asarray(dev.bc), np.asarray(host.bc))
+        # the whole-genome chunked builder must be bit-identical too
+        # (an odd chunk size exercises the tail-chunk masking)
+        from salt_tpu.ops.rank import _device_plane_chunked
+
+        W = host.n_words
+        chunked = np.concatenate([
+            np.asarray(_device_plane_chunked(
+                jnp.asarray(_pack4(syms)), c=c, n=len(syms), n_words=W,
+                chunk=37))
+            for c in range(n_sym)
+        ])
+        assert np.array_equal(chunked, np.asarray(host.bc))
 
 
 def test_zero_snp_index_loads_all_modes(small_index):

@@ -1,5 +1,13 @@
-"""Large-genome scale test: synthetic 45MB genome (chr21-scale) +
-SNP overlay; measures index build time and SE alignment throughput."""
+"""Large-genome scale test: synthetic genome (chr21- to GRCh38-scale) +
+SNP overlay; measures index build time / peak RSS and SE alignment
+throughput.  The whole-genome path exercises the u32 SA-IS
+(tools/sais.cpp salt_sais_u8_u32) and the sampled-SA runtime — the
+TPU-native answer to the reference's incremental BWT-SW construction
+(Index_src/bwt_gen.c:1400-1538).
+
+  python tools/bench_large.py 3100000000 --build-only --save /tmp/big/idx
+  python tools/bench_large.py 3100000000 --sa-mode sampled   # build+align
+"""
 
 import os, sys, time
 
@@ -15,9 +23,16 @@ from salt_tpu.pipeline.engine import SEAligner, SEOptions
 GENOME_LEN = int(sys.argv[1]) if len(sys.argv) > 1 else 45_000_000
 BUILD_ONLY = "--build-only" in sys.argv
 SAVE_PREFIX = None
+SA_MODE = "full"
+SNP_EVERY = 300            # ~1 SNP / 300bp (snp144Common density scale)
+N_CONTIG = 4 if GENOME_LEN >= 1_000_000_000 else 1
 for i, a in enumerate(sys.argv):
     if a == "--save":
         SAVE_PREFIX = sys.argv[i + 1]
+    if a == "--sa-mode":
+        SA_MODE = sys.argv[i + 1]
+    if a == "--snp-every":
+        SNP_EVERY = int(sys.argv[i + 1])
 N_READS = 8192 * 3
 L = 100
 
@@ -27,65 +42,87 @@ def rss_gb():
 
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
-rng = np.random.default_rng(7)
-bases = "ACGT"
-print(f"synthesizing {GENOME_LEN/1e6:.0f}MB genome...", flush=True)
-codes = rng.integers(0, 4, GENOME_LEN).astype(np.uint8)
-genome = codes.view()
-genome_str = "".join(bases[c] for c in codes[:0])  # placeholder
-# fast codes->str
-lut = np.frombuffer(b"ACGT", dtype=np.uint8)
-genome_str = lut[codes].tobytes().decode("latin1")
 
-# SNPs at ~1/300bp
-n_snp = GENOME_LEN // 300
-pos = np.sort(rng.choice(GENOME_LEN, size=n_snp, replace=False)).astype(np.uint32)
-ref_codes = codes[pos]
-alt = (ref_codes + rng.integers(1, 4, n_snp)) % 4
-stype = ((1 << ref_codes) | (1 << alt) | (ref_codes << 4)).astype(np.uint8)
-block = SnpBlock("chr21s", pos, stype)
+def log(msg):
+    print(f"[t+{time.time()-T00:7.1f}s rss {rss_gb():6.2f}GB] {msg}",
+          flush=True)
+
+
+T00 = time.time()
+rng = np.random.default_rng(7)
+lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+log(f"synthesizing {GENOME_LEN/1e6:.0f}MB genome, {N_CONTIG} contigs...")
+codes = rng.integers(0, 4, GENOME_LEN, dtype=np.int64).astype(np.uint8)
+
+# SNPs at ~1/SNP_EVERY bp (global positions, then split per contig)
+n_snp = GENOME_LEN // SNP_EVERY
+gpos = np.sort(rng.choice(GENOME_LEN, size=n_snp, replace=False).astype(np.int64))
+ref_codes = codes[gpos]
+alt = ((ref_codes + rng.integers(1, 4, n_snp)) % 4).astype(np.uint8)
+stype_all = ((1 << ref_codes) | (1 << alt) | (ref_codes << 4)).astype(np.uint8)
+
+clen = GENOME_LEN // N_CONTIG
+contig_data = []
+blocks = []
+for ci in range(N_CONTIG):
+    s0 = ci * clen
+    s1 = GENOME_LEN if ci == N_CONTIG - 1 else (ci + 1) * clen
+    # char array, NOT a python str: build_index_from_data takes uint8
+    contig_data.append((f"chr{ci+1}", "synthetic", lut[codes[s0:s1]]))
+    sel = (gpos >= s0) & (gpos < s1)
+    blocks.append(SnpBlock(f"chr{ci+1}", (gpos[sel] - s0).astype(np.uint32),
+                           stype_all[sel]))
+log(f"{n_snp/1e6:.2f}M SNPs synthesized")
 
 t0 = time.time()
-idx = build_index_from_data([("chr21s", "synthetic", genome_str)], [block], l_seed=19)
-print(f"index built in {time.time()-t0:.1f}s "
-      f"(text {idx.r_text_len/1e6:.1f}M local-pattern chars); "
-      f"peak RSS {rss_gb():.2f}GB = {rss_gb()*1e9/GENOME_LEN:.1f} B/base",
-      flush=True)
-del genome_str
+idx = build_index_from_data(contig_data, blocks, l_seed=19)
+build_s = time.time() - t0
+log(f"index built in {build_s:.1f}s "
+    f"(text {idx.r_text_len/1e6:.1f}M local-pattern chars); "
+    f"peak RSS {rss_gb():.2f}GB = {rss_gb()*1e9/GENOME_LEN:.1f} B/base")
 if SAVE_PREFIX:
     from salt_tpu.index.store import save_index
 
     t0 = time.time()
     save_index(idx, SAVE_PREFIX)
-    print(f"saved to {SAVE_PREFIX} in {time.time()-t0:.1f}s", flush=True)
+    sz = sum(os.path.getsize(os.path.join(d, f))
+             for d, _s, fs in os.walk(os.path.dirname(SAVE_PREFIX) or ".")
+             for f in fs if f.startswith(os.path.basename(SAVE_PREFIX)))
+    log(f"saved to {SAVE_PREFIX} in {time.time()-t0:.1f}s ({sz/1e9:.2f}GB)")
 if BUILD_ONLY:
     sys.exit(0)
 
 # reads from the SNP-mutated haplotype + 0.1% errors
-hap = codes.copy()
-hap[pos] = alt
+hap = codes
+hap[gpos] = alt   # in place: codes not needed pristine anymore
 starts = rng.integers(0, GENOME_LEN - L, N_READS)
 reads = []
 for s in starts:
     r = hap[s : s + L].copy()
     err = rng.random(L) < 0.001
-    r[err] = rng.integers(0, 4, err.sum())
+    r[err] = rng.integers(0, 4, int(err.sum()))
     reads.append(lut[r].tobytes().decode("latin1"))
+del hap, codes
 
 recs = [SeqRecord(name=f"r{i}_{starts[i]}", comment=None, seq=s, qual="I" * L)
         for i, s in enumerate(reads)]
-opts = SEOptions(l_overlap=1, max_locate=500, batch_size=4096, gap_batch=128)
+opts = SEOptions(l_overlap=1, max_locate=500, batch_size=4096, gap_batch=128,
+                 sa_mode=SA_MODE)
+t0 = time.time()
 al = SEAligner(idx, opts)
+log(f"device index loaded in {time.time()-t0:.1f}s (sa_mode={SA_MODE})")
 t0 = time.time()
 out1 = al.align_records(recs[:4096])
-print(f"warmup batch {time.time()-t0:.1f}s", flush=True)
+log(f"warmup batch {time.time()-t0:.1f}s")
 t0 = time.time()
 out = al.align_records(recs[4096:])
 dt = time.time() - t0
 n = len(recs) - 4096
-print(f"aligned {n} reads in {dt:.2f}s -> {n/dt:.0f} reads/s", flush=True)
+log(f"aligned {n} reads in {dt:.2f}s -> {n/dt:.0f} reads/s")
 
-# accuracy: primary position within 5bp of truth
+# accuracy: primary position within 5bp of truth.  Truth starts are
+# global; convert SAM (contig, pos) back to global via contig offsets.
+offs = {c.name: c.offset for c in idx.contigs}
 ok = 0
 tot = 0
 for i, line in enumerate(out):
@@ -96,7 +133,7 @@ for i, line in enumerate(out):
         continue
     tot += 1
     truth = int(recs[4096 + i].name.split("_")[1])
-    if abs(int(f[3]) - 1 - truth) <= 5:
+    if abs(offs[f[2]] + int(f[3]) - 1 - truth) <= 5:
         ok += 1
-print(f"accuracy: {ok}/{tot} primaries within 5bp of truth "
-      f"({100.0*ok/max(tot,1):.2f}%), {n - tot} unmapped")
+log(f"accuracy: {ok}/{tot} primaries within 5bp of truth "
+    f"({100.0*ok/max(tot,1):.2f}%), {n - tot} unmapped")
