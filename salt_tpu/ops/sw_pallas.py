@@ -31,6 +31,8 @@ NEG = -(2**20)  # plain int: jnp scalars would be captured consts in the kernel
 def _sw_tile_kernel(revref_ref, reads_ref, reflen_ref, out_ref, *,
                     LP: int, WP: int, L: int, snp_mode: bool,
                     go: int, ge: int):
+    from jax.experimental import pallas as pl
+
     reads = reads_ref[...]                      # (LP, LANES) int32
     reflen = reflen_ref[...]                    # (1, LANES) int32
     ii = jax.lax.broadcasted_iota(jnp.int32, (LP, LANES), 0)
@@ -61,9 +63,12 @@ def _sw_tile_kernel(revref_ref, reads_ref, reflen_ref, out_ref, *,
     def step(d, carry):
         h1, h2, e1, f1, best = carry            # diag d-1, d-2 state
         off = WP + LP - 1 - d
-        ref_d = jax.lax.dynamic_slice(
-            revref_ref[...], (off, 0), (LP, LANES)
-        )
+        # dynamic-start load on the SUBLANE axis straight from the VMEM
+        # ref — Mosaic lowers pl.ds here, whereas a dynamic_slice of the
+        # materialized tile does not (it was this kernel's only
+        # unloweralbe op; round-3's silent fallback hid that it had
+        # never compiled on real hardware)
+        ref_d = revref_ref[pl.ds(off, LP), :]
         s = score(ref_d)
         e = jnp.maximum(e1 - gec, h1 - goc)
         h1s = shift_down(h1, 0)

@@ -330,6 +330,15 @@ class PEAligner:
         rcodes_list = [revcomp(c[None])[0] for c in codes_list]
         n_amb = np.array([(c > 3).sum() for c in codes_list])
 
+        if n > 0 and len({len(s) for s in seqs}) == 1:
+            # uniform read length (the common case): chunk pairs so each
+            # device batch holds BOTH ends of a contiguous pair range,
+            # and run pairing/rescue/SAM for chunk k while chunk k+1 is
+            # on the device — the host stages (~40% of PE wall time
+            # when serialized after all device batches) overlap away.
+            return self._align_pairs_uniform(
+                names, quals, codes_list, rcodes_list, n_amb, n)
+
         # device SE stage for all 2n ends: one fixed-shape program per
         # distinct read length, batched; 2-deep software pipeline
         # (dispatch batch i+1 before completing batch i)
@@ -368,43 +377,56 @@ class PEAligner:
                             {k: v[i] for k, v in res.items()}, False
                         )
 
-        out: List[str] = []
         states = []   # (e0, e1, mode, reqs)
         for pi in range(n):
-            e0 = _End(names[pi], codes_list[pi], rcodes_list[pi], quals[pi])
-            e1 = _End(names[n + pi], codes_list[n + pi],
-                      rcodes_list[n + pi], quals[n + pi])
-            for gi, e in ((pi, e0), (n + pi, e1)):
-                if n_amb[gi] > PE_MAX_N_AMBIGUOUS:
-                    continue  # end stays unmapped (alnpe.c:495)
-                r, is_gap = results[gi]
-                if bool(r["found"]):
-                    e.pos = int(r["pos"])
-                    e.strand = int(r["strand"])
-                    e.n_diff = int(r["n_diff"])
-                    e.is_gap = 1 if is_gap else 0
-                    b1, xa = set_hits(
-                        e.pos, e.n_diff, r["n_hits"], r["first_hit_ndiff"],
-                        r["hits_pos"], r["hits_ndiff"], o.max_hits,
-                    )
-                    e.b0 = e.n_diff
-                    e.b1 = b1
-                    e.mapq = gen_mapq(e.b0, b1)
-                    hits0 = [(p, nd, e.is_gap) for (s, p, nd) in xa if s == 0]
-                    hits1 = [(p, nd, e.is_gap) for (s, p, nd) in xa if s == 1]
-                    e.hits = (hits0, hits1)
-            if e0.pos != UINT32_MAX and e1.pos != UINT32_MAX:
-                if self._pairing2_fast(e0, e1):
-                    states.append((e0, e1, "done", None))
-                else:
-                    states.append((e0, e1, "pair2",
-                                   self._pairing2_requests(e0, e1)))
-            elif e0.pos != UINT32_MAX or e1.pos != UINT32_MAX:
-                states.append((e0, e1, "single",
-                               self._singleton_requests(e0, e1)))
-            else:
-                states.append((e0, e1, "none", None))
+            states.append(self._make_state(
+                names[pi], names[n + pi], quals[pi], quals[n + pi],
+                codes_list[pi], rcodes_list[pi],
+                codes_list[n + pi], rcodes_list[n + pi],
+                n_amb[pi], n_amb[n + pi],
+                results[pi], results[n + pi],
+            ))
+        return self._finalize_states(states)
 
+    def _make_state(self, name0, name1, qual0, qual1, c0, rc0, c1, rc1,
+                    amb0, amb1, res0, res1):
+        """Per-pair state: SE results -> _End pair + pairing mode/requests
+        (alnpe_core1 flow)."""
+        o = self.opts
+        e0 = _End(name0, c0, rc0, qual0)
+        e1 = _End(name1, c1, rc1, qual1)
+        for amb, e, rr in ((amb0, e0, res0), (amb1, e1, res1)):
+            if amb > PE_MAX_N_AMBIGUOUS:
+                continue  # end stays unmapped (alnpe.c:495)
+            r, is_gap = rr
+            if bool(r["found"]):
+                e.pos = int(r["pos"])
+                e.strand = int(r["strand"])
+                e.n_diff = int(r["n_diff"])
+                e.is_gap = 1 if is_gap else 0
+                b1, xa = set_hits(
+                    e.pos, e.n_diff, r["n_hits"], r["first_hit_ndiff"],
+                    r["hits_pos"], r["hits_ndiff"], o.max_hits,
+                )
+                e.b0 = e.n_diff
+                e.b1 = b1
+                e.mapq = gen_mapq(e.b0, b1)
+                hits0 = [(p, nd, e.is_gap) for (s, p, nd) in xa if s == 0]
+                hits1 = [(p, nd, e.is_gap) for (s, p, nd) in xa if s == 1]
+                e.hits = (hits0, hits1)
+        if e0.pos != UINT32_MAX and e1.pos != UINT32_MAX:
+            if self._pairing2_fast(e0, e1):
+                return (e0, e1, "done", None)
+            return (e0, e1, "pair2", self._pairing2_requests(e0, e1))
+        if e0.pos != UINT32_MAX or e1.pos != UINT32_MAX:
+            return (e0, e1, "single", self._singleton_requests(e0, e1))
+        return (e0, e1, "none", None)
+
+    def _finalize_states(self, states) -> List[str]:
+        """Rescue + batched MD/NM + SAM emission for a list of pair
+        states, in order."""
+        o = self.opts
+        out: List[str] = []
         scores_map = self._device_sw_scores(states)
 
         for pi, (e0, e1, mode, reqs) in enumerate(states):
@@ -454,6 +476,56 @@ class PEAligner:
                         lv_cigar=self._xa_cigar,
                         md_tags=(md_map.get((pi, 0)), md_map.get((pi, 1))))
             )
+        return out
+
+    def _align_pairs_uniform(self, names, quals, codes_list, rcodes_list,
+                             n_amb, n) -> List[str]:
+        """Uniform-length pipelined driver: device batch k+1 runs while
+        chunk k's pairing/rescue/SAM happens on the host."""
+        o = self.opts
+        B = o.batch_size
+        P = max(B // 2, 1)               # pairs per chunk (2 ends each)
+        L = len(codes_list[0])
+        starts = list(range(0, n, P))
+        inflight = []
+
+        def dispatch(p0):
+            cnt = min(P, n - p0)
+            chunk = np.zeros((B, L), np.uint8)
+            for i in range(cnt):
+                chunk[i] = codes_list[p0 + i]            # end 0
+                chunk[P + i] = codes_list[n + p0 + i]    # end 1
+            inflight.append((p0, cnt, self._se._dispatch_batch(chunk)))
+
+        out: List[str] = []
+        if starts:
+            dispatch(starts[0])
+        for si in range(len(starts)):
+            if si + 1 < len(starts):
+                dispatch(starts[si + 1])
+            p0, cnt, handle = inflight.pop(0)
+            res, needs_gap, gap_res, full_res = (
+                self._se._complete_batch(handle)
+            )
+
+            def get(i):
+                if needs_gap[i] and i in gap_res:
+                    return (gap_res[i], True)
+                if i in full_res:
+                    return (full_res[i], False)
+                return ({k: v[i] for k, v in res.items()}, False)
+
+            states = []
+            for i in range(cnt):
+                pi = p0 + i
+                states.append(self._make_state(
+                    names[pi], names[n + pi], quals[pi], quals[n + pi],
+                    codes_list[pi], rcodes_list[pi],
+                    codes_list[n + pi], rcodes_list[n + pi],
+                    n_amb[pi], n_amb[n + pi],
+                    get(i), get(P + i),
+                ))
+            out.extend(self._finalize_states(states))
         return out
 
     def _device_sw_scores(self, states):

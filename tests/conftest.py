@@ -36,3 +36,31 @@ def have_oracle():
 requires_oracle = pytest.mark.skipif(
     not have_oracle(), reason="reference oracle data not present in /tmp/oracle"
 )
+
+
+# ---- quick subset --------------------------------------------------
+# `pytest -m quick` finishes in a few minutes (per-commit gate); the
+# full suite runs the compile-heavy end-to-end/sharded tests too.
+# Slow tests are tagged by nodeid substring so the tag stays next to
+# the measured duration data rather than scattered across files.
+_SLOW_SUBSTRINGS = (
+    "test_sharded_engine.py",            # 2 tests, ~5 min of CPU compiles
+    "test_roundtrip_accuracy",           # ~100s wgsim round trip
+    "test_sw_extend.py",                 # -X 1 device/host compile variants
+    "test_sharded.py",                   # 8-shard mesh compiles
+    "test_sampled_sa.py",                # full-vs-sampled dual engine compiles
+)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: compile-heavy test (excluded "
+                                       "from -m quick)")
+    config.addinivalue_line("markers", "quick: fast per-commit subset")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(s in item.nodeid for s in _SLOW_SUBSTRINGS):
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.quick)
