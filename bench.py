@@ -85,7 +85,7 @@ BASELINE_READS_PER_SEC = 2477.0
 GENOME = "/root/reference/Test/Genome/Genome.fa"
 READ_LEN = 100
 N_READS = 24576
-BATCH = 4096
+BATCH = int(os.environ.get("SALT_TPU_BENCH_BATCH", "4096"))
 
 
 def make_fixture():

