@@ -34,7 +34,7 @@ def _sw_tile_kernel(revref_ref, reads_ref, reflen_ref, out_ref, *,
     from jax.experimental import pallas as pl
 
     reads = reads_ref[...]                      # (LP, LANES) int32
-    reflen = reflen_ref[...]                    # (1, LANES) int32
+    reflen = reflen_ref[0:1, :]                 # (1, LANES) int32
     ii = jax.lax.broadcasted_iota(jnp.int32, (LP, LANES), 0)
 
     goc = jnp.int32(go)
@@ -119,7 +119,12 @@ def sw_score_batch_pallas(
     reads_t = jnp.pad(
         reads.astype(jnp.int32), ((0, padB), (0, LP - L))
     ).T                                                   # (LP, NB)
-    reflen = jnp.pad(ref_len.astype(jnp.int32), (0, padB))[None, :]
+    # full 8-sublane tile: a (1, LANES)-blocked input crashed the Mosaic
+    # pipeline on the relay's libtpu (array.h CHECK limits<=dim), and
+    # (8, 128) is the native VREG tile anyway
+    reflen = jnp.broadcast_to(
+        jnp.pad(ref_len.astype(jnp.int32), (0, padB))[None, :], (8, NB)
+    )
 
     grid = (NB // LANES,)
     out = pl.pallas_call(
@@ -133,7 +138,7 @@ def sw_score_batch_pallas(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((LP, LANES), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, LANES), lambda i: (0, i),
+                pl.BlockSpec((8, LANES), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((8, LANES), lambda i: (0, i),
