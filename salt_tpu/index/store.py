@@ -92,8 +92,8 @@ def load_index(prefix: str) -> SaltIndex:
         r_coord=z["r_coord"],
         r_lkt_sp=z["r_lkt_sp"] if "r_lkt_sp" in z else None,
         r_lkt_ep=z["r_lkt_ep"] if "r_lkt_ep" in z else None,
-        sharp_bases=(z["sharp_bases"]
-                     if "sharp_bases" in z and len(z["sharp_bases"])
-                     else None),
+        # empty is a VALID value (zero-SNP index); only a missing key
+        # (pre-sharp_bases bundle) maps to None
+        sharp_bases=z["sharp_bases"] if "sharp_bases" in z else None,
         max_seg_len=m.get("max_seg_len", 0),
     )

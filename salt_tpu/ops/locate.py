@@ -61,19 +61,23 @@ def resolve_sampled(sampled, ri_c, ri_r, rank, is_r, active):
     bound_c = jnp.uint32(n1c - 1)
     bound_r = jnp.uint32(n1r - 1)
 
-    def sel_row(k):
+    def sel_row(k, sel):
         w = (k.astype(jnp.uint32) >> 5).astype(jnp.int32)
-        return s.c_sel[jnp.clip(w, 0, s.c_sel.shape[0] - 1)]
+        return sel[jnp.clip(w, 0, sel.shape[0] - 1)]
 
-    def c_done(k):
-        row = sel_row(k)
+    def bit_done(k, sel):
+        row = sel_row(k, sel)
         bit = (row[..., 1].astype(jnp.uint32)
                >> (k.astype(jnp.uint32) & 31)) & 1
         return bit == 1
 
+    def c_done(k):
+        return bit_done(k, s.c_sel)
+
     def r_done(k):
-        # R ranks are genuinely small (local-pattern text < 2^31)
-        return (k >= s.sharp_lo) & (k < s.sharp_hi)
+        # stop at '#' ranks OR coordinate-sampled ranks (both flagged
+        # in r_sel) — bounds the R walk at intv-1 steps
+        return bit_done(k, s.r_sel)
 
     k0 = umin(rank, jnp.where(is_r, bound_r, bound_c))
     done0 = ~active | jnp.where(is_r, r_done(k0), c_done(k0))
@@ -105,21 +109,25 @@ def resolve_sampled(sampled, ri_c, ri_r, rank, is_r, active):
 
     k, steps, _ = jax.lax.while_loop(cond, body, (k0, steps0, done0))
 
-    row = sel_row(k)
-    kl = k.astype(jnp.uint32) & 31
-    mask = jnp.where(kl > 0, (jnp.uint32(1) << kl) - jnp.uint32(1),
-                     jnp.uint32(0))
-    slot_c = row[..., 0] + jax.lax.population_count(
-        row[..., 1].astype(jnp.uint32) & mask).astype(jnp.int32)
+    def slot_of(k, sel):
+        row = sel_row(k, sel)
+        kl = k.astype(jnp.uint32) & 31
+        mask = jnp.where(kl > 0, (jnp.uint32(1) << kl) - jnp.uint32(1),
+                         jnp.uint32(0))
+        return row[..., 0] + jax.lax.population_count(
+            row[..., 1].astype(jnp.uint32) & mask).astype(jnp.int32)
+
+    slot_c = slot_of(k, s.c_sel)
     val_c = s.c_samples[jnp.clip(slot_c, 0, s.c_samples.shape[0] - 1)]
     val_c = val_c + steps.astype(jnp.uint32)
 
-    slot_r = jnp.clip(k - s.sharp_lo, 0, s.sharp_base.shape[0] - 1)
-    base_r = s.sharp_base[slot_r]
+    slot_r = slot_of(k, s.r_sel)
+    v_r = s.r_samples[jnp.clip(slot_r, 0, s.r_samples.shape[0] - 1)]
+    on_sharp = (k >= s.sharp_lo) & (k < s.sharp_hi)
     val_r = jnp.where(
-        steps == 0,
+        (steps == 0) & on_sharp,
         jnp.uint32(UINT32_MAX),  # candidate ON a '#': full table says so
-        base_r + steps.astype(jnp.uint32),
+        v_r + steps.astype(jnp.uint32),
     )
     return jnp.where(is_r, val_r, val_c)
 

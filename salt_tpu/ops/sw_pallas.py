@@ -2,12 +2,19 @@
 (drop-in for ops/sw_batch.py:sw_score_batch on TPU).
 
 Layout: 128 candidates ride the lane axis, read positions the sublane
-axis; the whole DP state for a tile lives in VMEM.  The wavefront runs
-over anti-diagonals d = i + j: every cell on a diagonal depends only on
-diagonals d-1 (left/up for the affine E/F) and d-2 (match), so each of
-the LP + WP - 1 steps is pure (LP, 128) vector work with no gathers —
-the per-lane reference character slice ref[d - i] is one dynamic
-contiguous read of the pre-reversed reference tile.
+axis.  The wavefront runs over anti-diagonals d = i + j: every cell on
+a diagonal depends only on diagonals d-1 (left/up for the affine E/F)
+and d-2 (match), so each step is pure (LP, 128) vector work.
+
+The diagonal walk is the GRID's innermost dimension: the per-lane
+reference slice ref[d - i] is fetched by the BlockSpec with an
+ELEMENT-indexed window into the pre-reversed reference tile
+(pl.Element — the index map slides one row per grid step), and the DP
+state lives in VMEM scratch, which persists across grid steps on TPU.
+This keeps every in-kernel access static — the relay's libtpu
+(Nov 2025 Mosaic) SIGABRTs on dynamic VMEM slices inside the kernel
+body, which is why the earlier fori_loop + pl.ds formulation never
+compiled on real hardware.
 
 Scores are textbook affine SW (see sw_batch.py for why that is a sound
 and in-practice-equal stand-in for the vendored SSW's scores):
@@ -28,10 +35,22 @@ LANES = 128
 NEG = -(2**20)  # plain int: jnp scalars would be captured consts in the kernel
 
 
-def _sw_tile_kernel(revref_ref, reads_ref, reflen_ref, out_ref, *,
-                    LP: int, WP: int, L: int, snp_mode: bool,
+def _sw_grid_kernel(revwin_ref, reads_ref, reflen_ref, out_ref,
+                    h1_ref, h2_ref, e1_ref, f1_ref, best_ref, *,
+                    LP: int, ND: int, L: int, snp_mode: bool,
                     go: int, ge: int):
     from jax.experimental import pallas as pl
+
+    d = pl.program_id(1)
+    negc = jnp.int32(NEG)
+
+    @pl.when(d == 0)
+    def _init():
+        h1_ref[...] = jnp.zeros((LP, LANES), jnp.int32)
+        h2_ref[...] = jnp.zeros((LP, LANES), jnp.int32)
+        e1_ref[...] = jnp.full((LP, LANES), NEG, jnp.int32)
+        f1_ref[...] = jnp.full((LP, LANES), NEG, jnp.int32)
+        best_ref[...] = jnp.zeros((8, LANES), jnp.int32)
 
     reads = reads_ref[...]                      # (LP, LANES) int32
     reflen = reflen_ref[0:1, :]                 # (1, LANES) int32
@@ -40,14 +59,16 @@ def _sw_tile_kernel(revref_ref, reads_ref, reflen_ref, out_ref, *,
     goc = jnp.int32(go)
     gec = jnp.int32(ge)
 
-    def score(r):
-        if snp_mode:
-            r_ok = (r != 0) & ((r & (r - 1)) == 0)
-            hit = r_ok & ((r & reads) != 0)
-            return jnp.where(hit, jnp.int32(1), jnp.int32(-3))
-        any_n = (r >= 4) | (reads >= 4)
-        eq = r == reads
-        return jnp.where(
+    ref_d = revwin_ref[...]                     # (LP, LANES) int32
+
+    if snp_mode:
+        r_ok = (ref_d != 0) & ((ref_d & (ref_d - 1)) == 0)
+        hit = r_ok & ((ref_d & reads) != 0)
+        s = jnp.where(hit, jnp.int32(1), jnp.int32(-3))
+    else:
+        any_n = (ref_d >= 4) | (reads >= 4)
+        eq = ref_d == reads
+        s = jnp.where(
             any_n, jnp.int32(-1),
             jnp.where(eq, jnp.int32(1), jnp.int32(-3)),
         )
@@ -56,39 +77,32 @@ def _sw_tile_kernel(revref_ref, reads_ref, reflen_ref, out_ref, *,
         top = jnp.full((1, LANES), fill, jnp.int32)
         return jnp.concatenate([top, x[:-1]], axis=0)
 
-    negc = jnp.int32(NEG)
-    zero = jnp.zeros((LP, LANES), jnp.int32)
-    neg = jnp.full((LP, LANES), NEG, jnp.int32)
-
-    def step(d, carry):
-        h1, h2, e1, f1, best = carry            # diag d-1, d-2 state
-        off = WP + LP - 1 - d
-        # dynamic-start load on the SUBLANE axis straight from the VMEM
-        # ref — Mosaic lowers pl.ds here, whereas a dynamic_slice of the
-        # materialized tile does not (it was this kernel's only
-        # unloweralbe op; round-3's silent fallback hid that it had
-        # never compiled on real hardware)
-        ref_d = revref_ref[pl.ds(off, LP), :]
-        s = score(ref_d)
-        e = jnp.maximum(e1 - gec, h1 - goc)
-        h1s = shift_down(h1, 0)
-        f1s = shift_down(f1, negc)
-        f = jnp.maximum(f1s - gec, h1s - goc)
-        h2s = shift_down(h2, 0)
-        h = jnp.maximum(jnp.maximum(h2s + s, jnp.maximum(e, f)),
-                        jnp.int32(0))
-        valid = (ii < L) & (ii <= d) & (ii >= d - reflen + 1)
-        h = jnp.where(valid, h, 0)
-        e = jnp.where(valid, e, negc)
-        f = jnp.where(valid, f, negc)
-        best = jnp.maximum(best, jnp.max(h, axis=0, keepdims=True))
-        return (h, h1, e, f, best)
-
-    best0 = jnp.zeros((1, LANES), jnp.int32)
-    _, _, _, _, best = jax.lax.fori_loop(
-        0, LP + WP - 1, step, (zero, zero, neg, neg, best0)
+    h1 = h1_ref[...]
+    h2 = h2_ref[...]
+    e1 = e1_ref[...]
+    f1 = f1_ref[...]
+    e = jnp.maximum(e1 - gec, h1 - goc)
+    h1s = shift_down(h1, 0)
+    f1s = shift_down(f1, negc)
+    f = jnp.maximum(f1s - gec, h1s - goc)
+    h2s = shift_down(h2, 0)
+    h = jnp.maximum(jnp.maximum(h2s + s, jnp.maximum(e, f)), jnp.int32(0))
+    valid = (ii < L) & (ii <= d) & (ii >= d - reflen + 1)
+    h = jnp.where(valid, h, 0)
+    e = jnp.where(valid, e, negc)
+    f = jnp.where(valid, f, negc)
+    best_ref[...] = jnp.maximum(
+        best_ref[...],
+        jnp.broadcast_to(jnp.max(h, axis=0, keepdims=True), (8, LANES)),
     )
-    out_ref[...] = jnp.broadcast_to(best, (8, LANES))
+    h2_ref[...] = h1
+    h1_ref[...] = h
+    e1_ref[...] = e
+    f1_ref[...] = f
+
+    @pl.when(d == ND - 1)
+    def _emit():
+        out_ref[...] = best_ref[...]
 
 
 @partial(jax.jit, static_argnames=("snp_mode", "gap_open", "gap_extend",
@@ -111,6 +125,7 @@ def sw_score_batch_pallas(
     WP = ((W + 7) // 8) * 8
     NB = ((B + LANES - 1) // LANES) * LANES
     padB = NB - B
+    ND = LP + WP - 1
 
     # reversed, candidate-major reference tile: revref[y, b] =
     # refpad[WP + 2LP - 1 - y] where refpad[x] = ref[x - LP]
@@ -119,31 +134,36 @@ def sw_score_batch_pallas(
     reads_t = jnp.pad(
         reads.astype(jnp.int32), ((0, padB), (0, LP - L))
     ).T                                                   # (LP, NB)
-    # full 8-sublane tile: a (1, LANES)-blocked input crashed the Mosaic
-    # pipeline on the relay's libtpu (array.h CHECK limits<=dim), and
+    # full 8-sublane tile: a (1, LANES)-blocked input upsets Mosaic and
     # (8, 128) is the native VREG tile anyway
     reflen = jnp.broadcast_to(
         jnp.pad(ref_len.astype(jnp.int32), (0, padB))[None, :], (8, NB)
     )
 
-    grid = (NB // LANES,)
+    grid = (NB // LANES, ND)
     out = pl.pallas_call(
-        partial(_sw_tile_kernel, LP=LP, WP=WP, L=L, snp_mode=snp_mode,
+        partial(_sw_grid_kernel, LP=LP, ND=ND, L=L, snp_mode=snp_mode,
                 go=gap_open, ge=gap_extend),
         out_shape=jax.ShapeDtypeStruct((8, NB), jnp.int32),
-        grid_spec=pl.GridSpec(
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((WP + 2 * LP, LANES), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((LP, LANES), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, LANES), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((8, LANES), lambda i: (0, i),
-                                   memory_space=pltpu.VMEM),
-        ),
+        grid=grid,
+        in_specs=[
+            # diagonal d reads revref rows [WP+LP-1-d, ..+LP): the
+            # element-indexed window slides one row per grid step
+            pl.BlockSpec(
+                (pl.Element(LP), pl.Blocked(LANES)),
+                lambda b, d: (WP + LP - 1 - d, b),
+            ),
+            pl.BlockSpec((LP, LANES), lambda b, d: (0, b)),
+            pl.BlockSpec((8, LANES), lambda b, d: (0, b)),
+        ],
+        out_specs=pl.BlockSpec((8, LANES), lambda b, d: (0, b)),
+        scratch_shapes=[
+            pltpu.VMEM((LP, LANES), jnp.int32),
+            pltpu.VMEM((LP, LANES), jnp.int32),
+            pltpu.VMEM((LP, LANES), jnp.int32),
+            pltpu.VMEM((LP, LANES), jnp.int32),
+            pltpu.VMEM((8, LANES), jnp.int32),
+        ],
         interpret=interpret,
     )(revref, reads_t, reflen)
     return out[0, :B]

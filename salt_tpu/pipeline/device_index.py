@@ -9,6 +9,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..constants import UINT32_MAX
 from ..index.build import SaltIndex
 from ..ops.rank import RankIndex
 
@@ -90,25 +91,34 @@ class SampledSA:
     c_samples: jnp.ndarray   # uint32 [n_sampled] positions in rank order
     c_syms: jnp.ndarray      # uint32 [ceil((n+1)/8)] 4-bit C BWT symbols
     r_syms: jnp.ndarray      # uint32 [ceil((T+1)/8)] 4-bit R BWT symbols
-    sharp_base: jnp.ndarray  # uint32 [n_sharp] coord base per '#' rank
+    r_sel: jnp.ndarray       # int32 [Wr, 2] fused select over R ranks:
+                             # bit set at '#' ranks AND at ranks whose
+                             # coordinate % intv == 0 — coordinates
+                             # decrease by 1 per LF step inside a
+                             # segment, so every R walk stops within
+                             # intv-1 steps (round-3's '#'-only anchors
+                             # walked up to the longest local pattern,
+                             # ~5x more iterations)
+    r_samples: jnp.ndarray   # uint32 value per set rank, rank order
     sharp_lo: int            # first '#' rank (r_cumfreq[4] + 1)
     sharp_hi: int            # one past last '#' rank
     intv: int
-    max_r_walk: int          # longest local-pattern segment + 1
+    max_r_walk: int          # walk bound (== intv now; kept in aux)
 
     def tree_flatten(self):
         return (
             (self.c_sel, self.c_samples, self.c_syms, self.r_syms,
-             self.sharp_base),
+             self.r_sel, self.r_samples),
             (self.sharp_lo, self.sharp_hi, self.intv, self.max_r_walk),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        c_sel, c_samples, c_syms, r_syms, sharp_base = children
+        c_sel, c_samples, c_syms, r_syms, r_sel, r_samples = children
         return cls(c_sel=c_sel, c_samples=c_samples, c_syms=c_syms,
-                   r_syms=r_syms, sharp_base=sharp_base, sharp_lo=aux[0],
-                   sharp_hi=aux[1], intv=aux[2], max_r_walk=aux[3])
+                   r_syms=r_syms, r_sel=r_sel, r_samples=r_samples,
+                   sharp_lo=aux[0], sharp_hi=aux[1], intv=aux[2],
+                   max_r_walk=aux[3])
 
 
 def _pack4(vals: np.ndarray) -> np.ndarray:
@@ -144,34 +154,49 @@ def build_sampled_sa(idx: SaltIndex, intv: int = 8) -> SampledSA:
     # rank coords (the sentinel suffix is rank 0)
     sharp_lo = int(idx.r_cumfreq[4]) + 1
     sharp_hi = int(idx.r_cumfreq[5]) + 1
-    # base per '#' rank: coord(p) = pos2coord[sharp_pos + 1] - 1 + steps
-    # for p inside the following segment.  Derived from the full
-    # r_coord/pos2coord affinity; we reconstruct it from r_coord of the
-    # rank at text position sharp_pos + 1... which we don't have by
-    # rank.  Instead recompute from the host full table: r_coord holds
-    # pos2coord[rsa[k]], so we need rsa — kept implicitly: the builder
-    # stores sharp bases directly (see build.py sharp_bases).
     if idx.sharp_bases is None:
         raise ValueError("index missing sharp_bases; rebuild with current "
                          "version for sa_mode='sampled'")
-    sharp_base = idx.sharp_bases
-    if len(sharp_base) == 0:
-        # zero-SNP index (plain genome, empty hapmap — reference plain
-        # mode via Index_src/index1.c with an empty SNP file): no local
-        # patterns, no '#' ranks.  Keep one dummy entry so gathers stay
-        # in-bounds; sharp_lo == sharp_hi already makes every R lane
-        # unreachable, and the walk bound below guarantees termination.
-        sharp_base = np.array([0x80000000], dtype=np.uint32)
+    # R select structure: a walk may stop at a '#' rank (value =
+    # sharp_base: coord(p) = base + steps, rbwt.c:316-333 semantics) or
+    # at any rank whose coordinate is a multiple of intv (value = that
+    # coordinate; coordinates are affine in text position within a
+    # segment, so r_coord[k0] = value + steps there too).  Both are
+    # derivable from the bundle's r_coord — no index-build changes —
+    # and together they bound every R walk at intv-1 steps.
+    n1r = len(idx.r_coord)
+    rmask = np.zeros(n1r, dtype=bool)
+    rc = idx.r_coord
+    rmask[(rc != np.uint32(UINT32_MAX)) & (rc % np.uint32(intv) == 0)] = True
+    rmask[sharp_lo:sharp_hi] = True
+    rvals = rc.copy()
+    if sharp_hi > sharp_lo:
+        rvals[sharp_lo:sharp_hi] = idx.sharp_bases
+    Wr = (n1r + 31) // 32 + 1
+    rranks = np.nonzero(rmask)[0]
+    rbits = np.zeros(Wr, dtype=np.uint32)
+    np.bitwise_or.at(rbits, rranks >> 5,
+                     np.uint32(1) << (rranks & 31).astype(np.uint32))
+    r_per_word = np.bincount(rranks >> 5, minlength=Wr)
+    r_sel = np.zeros((Wr, 2), dtype=np.int32)
+    r_sel[1:, 0] = np.cumsum(r_per_word)[:-1]
+    r_sel[:, 1] = rbits.view(np.int32)
+    r_samples = rvals[rmask]
+    if len(r_samples) == 0:
+        # zero-SNP index: no local patterns at all; keep one dummy slot
+        # so gathers stay in-bounds (no R lane is ever active)
+        r_samples = np.array([0x80000000], dtype=np.uint32)
     return SampledSA(
         c_sel=jnp.asarray(c_sel),
         c_samples=jnp.asarray(c_samples),
         c_syms=jnp.asarray(_pack4(idx.cbwt)),
         r_syms=jnp.asarray(_pack4(idx.rbwt)),
-        sharp_base=jnp.asarray(sharp_base),
+        r_sel=jnp.asarray(r_sel),
+        r_samples=jnp.asarray(r_samples),
         sharp_lo=sharp_lo,
         sharp_hi=sharp_hi,
         intv=intv,
-        max_r_walk=int(idx.max_seg_len) + 1,
+        max_r_walk=intv,
     )
 
 

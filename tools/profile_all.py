@@ -43,6 +43,32 @@ def t(name, fn, *args, reps=3):
     return best
 
 
+def t_loop(name, fn, perturb, *args, iters=16, reps=3):
+    """Time `fn` amortized over `iters` in-graph calls: single-call
+    timings through the relay include a ~10-30ms RPC round trip, which
+    swamps sub-50ms kernels.  `perturb(args, i)` must vary the input a
+    little so XLA cannot CSE the repeated pure calls into one."""
+    @jax.jit
+    def looped(*a):
+        def body(i, acc):
+            out = fn(*perturb(a, i))
+            return acc + out.reshape(-1)[0].astype(jnp.int32)
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(looped(*args))
+    print(f"[prof] {name:24s} first call {time.perf_counter()-t0:7.1f} s "
+          f"(compile)", flush=True)
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(looped(*args))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    print(f"[prof] {name:24s} {best*1000:9.2f} ms/call (x{iters} in-graph)",
+          flush=True)
+    return best
+
+
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     skip_sampled = "--skip-sampled" in sys.argv
@@ -119,8 +145,12 @@ def main():
     def f_sw(refs, rds, lens):
         return sw_score_batch_pallas(refs, rds, lens, snp_mode=True)
 
+    def pert_sw(a, i):
+        return (a[0].at[0, 0].set(i), a[1], a[2])
+
     try:
-        dt = t(f"sw_pallas B{B} {L}x{W}", f_sw, refs, rds, lens)
+        dt = t_loop(f"sw_pallas B{B} {L}x{W}", f_sw, pert_sw,
+                    refs, rds, lens)
         cells = B * W * L
         util = cells / dt * SW_OPS_PER_CELL / VPU_PEAK
         print(f"[prof] sw_pallas              {cells/dt/1e9:9.2f} Gcell/s "
@@ -134,7 +164,8 @@ def main():
     def f_sw_xla(refs, rds, lens):
         return sw_score_batch(refs, rds, lens, snp_mode=True)
 
-    dt = t(f"sw_xla    B{B} {L}x{W}", f_sw_xla, refs, rds, lens)
+    dt = t_loop(f"sw_xla    B{B} {L}x{W}", f_sw_xla, pert_sw,
+                refs, rds, lens)
     print(f"[prof] sw_xla                 {B*W*L/dt/1e9:9.2f} Gcell/s",
           flush=True)
 
@@ -153,8 +184,12 @@ def main():
         return lv_distance_batch_pallas(mixw, pos, active, seqs, K,
                                         text_words=True)
 
+    def pert_lv(a, i):
+        return (a[0].at[0].set(i), a[1], a[2])
+
     try:
-        dt = t(f"lv_pallas N{NL} k{K}", f_lv, pos, active, seqs)
+        dt = t_loop(f"lv_pallas N{NL} k{K}", f_lv, pert_lv,
+                    pos, active, seqs)
         # banded DP: (2k+1) diagonals x (L+pad) steps per candidate
         cells = NL * (2 * K + 1) * (100 + 8)
         util = cells / dt * LV_OPS_PER_CELL / VPU_PEAK
@@ -169,7 +204,8 @@ def main():
         return lv_distance_batch(mixw, pos, active, seqs, K,
                                  text_words=True)
 
-    dt = t(f"lv_xla    N{NL} k{K}", f_lv_xla, pos, active, seqs)
+    dt = t_loop(f"lv_xla    N{NL} k{K}", f_lv_xla, pert_lv,
+                pos, active, seqs)
     print(f"[prof] lv_xla                 {NL/dt/1e6:9.3f} Mcand/s",
           flush=True)
 
