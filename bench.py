@@ -85,7 +85,9 @@ BASELINE_READS_PER_SEC = 2477.0
 GENOME = "/root/reference/Test/Genome/Genome.fa"
 READ_LEN = 100
 N_READS = 24576
-BATCH = int(os.environ.get("SALT_TPU_BENCH_BATCH", "4096"))
+# 8192 measured 12.5k reads/s vs 10.2k at 4096 on the chip (round 4):
+# per-batch relay RPC latency amortizes over more reads
+BATCH = int(os.environ.get("SALT_TPU_BENCH_BATCH", "8192"))
 
 
 def make_fixture():

@@ -40,7 +40,14 @@ def save_index(idx: SaltIndex, prefix: str) -> None:
     }
     with open(prefix + ".salt.json", "w") as fh:
         json.dump(manifest, fh)
-    np.savez_compressed(
+    # deflate runs at a few MB/s single-threaded — a whole-genome
+    # bundle (~26GB raw) takes the better part of an hour to compress
+    # and minutes to decompress.  SALT_TPU_STORE_COMPRESS=0 stores raw
+    # (disk-speed save/load, ~2x the bytes).
+    writer = (np.savez_compressed
+              if os.environ.get("SALT_TPU_STORE_COMPRESS", "1") != "0"
+              else np.savez)
+    writer(
         prefix + ".salt.npz",
         pac=idx.pac,
         mixref=idx.mixref,

@@ -149,9 +149,11 @@ def sw_score_batch_pallas(
         in_specs=[
             # diagonal d reads revref rows [WP+LP-1-d, ..+LP): the
             # element-indexed window slides one row per grid step
+            # (Mosaic requires every dim Element if any is, so the lane
+            # dim carries an explicit 128-aligned element offset)
             pl.BlockSpec(
-                (pl.Element(LP), pl.Blocked(LANES)),
-                lambda b, d: (WP + LP - 1 - d, b),
+                (pl.Element(LP), pl.Element(LANES)),
+                lambda b, d: (WP + LP - 1 - d, b * LANES),
             ),
             pl.BlockSpec((LP, LANES), lambda b, d: (0, b)),
             pl.BlockSpec((8, LANES), lambda b, d: (0, b)),

@@ -23,17 +23,21 @@ from salt_tpu.pipeline.engine import SEAligner, SEOptions
 GENOME_LEN = int(sys.argv[1]) if len(sys.argv) > 1 else 45_000_000
 BUILD_ONLY = "--build-only" in sys.argv
 SAVE_PREFIX = None
+LOAD_PREFIX = None
 SA_MODE = "full"
 SNP_EVERY = 300            # ~1 SNP / 300bp (snp144Common density scale)
 N_CONTIG = 4 if GENOME_LEN >= 1_000_000_000 else 1
+BATCH = int(os.environ.get("SALT_TPU_BENCH_BATCH", "4096"))
 for i, a in enumerate(sys.argv):
     if a == "--save":
         SAVE_PREFIX = sys.argv[i + 1]
+    if a == "--load":
+        LOAD_PREFIX = sys.argv[i + 1]
     if a == "--sa-mode":
         SA_MODE = sys.argv[i + 1]
     if a == "--snp-every":
         SNP_EVERY = int(sys.argv[i + 1])
-N_READS = 8192 * 3
+N_READS = BATCH * 3
 L = 100
 
 
@@ -51,50 +55,83 @@ def log(msg):
 T00 = time.time()
 rng = np.random.default_rng(7)
 lut = np.frombuffer(b"ACGT", dtype=np.uint8)
-log(f"synthesizing {GENOME_LEN/1e6:.0f}MB genome, {N_CONTIG} contigs...")
-codes = rng.integers(0, 4, GENOME_LEN, dtype=np.int64).astype(np.uint8)
 
-# SNPs at ~1/SNP_EVERY bp (global positions, then split per contig)
-n_snp = GENOME_LEN // SNP_EVERY
-gpos = np.sort(rng.choice(GENOME_LEN, size=n_snp, replace=False).astype(np.int64))
-ref_codes = codes[gpos]
-alt = ((ref_codes + rng.integers(1, 4, n_snp)) % 4).astype(np.uint8)
-stype_all = ((1 << ref_codes) | (1 << alt) | (ref_codes << 4)).astype(np.uint8)
-
-clen = GENOME_LEN // N_CONTIG
-contig_data = []
-blocks = []
-for ci in range(N_CONTIG):
-    s0 = ci * clen
-    s1 = GENOME_LEN if ci == N_CONTIG - 1 else (ci + 1) * clen
-    # char array, NOT a python str: build_index_from_data takes uint8
-    contig_data.append((f"chr{ci+1}", "synthetic", lut[codes[s0:s1]]))
-    sel = (gpos >= s0) & (gpos < s1)
-    blocks.append(SnpBlock(f"chr{ci+1}", (gpos[sel] - s0).astype(np.uint32),
-                           stype_all[sel]))
-log(f"{n_snp/1e6:.2f}M SNPs synthesized")
-
-t0 = time.time()
-idx = build_index_from_data(contig_data, blocks, l_seed=19)
-build_s = time.time() - t0
-log(f"index built in {build_s:.1f}s "
-    f"(text {idx.r_text_len/1e6:.1f}M local-pattern chars); "
-    f"peak RSS {rss_gb():.2f}GB = {rss_gb()*1e9/GENOME_LEN:.1f} B/base")
-if SAVE_PREFIX:
-    from salt_tpu.index.store import save_index
+if LOAD_PREFIX:
+    # reload a saved bundle and reconstruct truth reads from it: pac
+    # holds the reference codes (no Ns in the synthetic genomes) and
+    # the mixRef nibble carries BOTH alleles, so the mutated-haplotype
+    # base at a SNP is the nibble bit that isn't the reference's.
+    from salt_tpu.index.store import load_index
 
     t0 = time.time()
-    save_index(idx, SAVE_PREFIX)
-    sz = sum(os.path.getsize(os.path.join(d, f))
-             for d, _s, fs in os.walk(os.path.dirname(SAVE_PREFIX) or ".")
-             for f in fs if f.startswith(os.path.basename(SAVE_PREFIX)))
-    log(f"saved to {SAVE_PREFIX} in {time.time()-t0:.1f}s ({sz/1e9:.2f}GB)")
-if BUILD_ONLY:
-    sys.exit(0)
+    idx = load_index(LOAD_PREFIX)
+    log(f"bundle loaded in {time.time()-t0:.1f}s "
+        f"({idx.l_pac/1e6:.0f}M bases, {idx.r_text_len/1e6:.1f}M R chars)")
+    GENOME_LEN = idx.l_pac
+    codes = idx.pac
+    nib = idx.mixref & np.uint8(15)
+    alt_mask = nib & ~(np.uint8(1) << codes)
+    is_snp = alt_mask != 0
+    gpos = np.nonzero(is_snp)[0]
+    # log2 of the remaining one-hot bit = the alternate allele code
+    alt = np.zeros(len(gpos), np.uint8)
+    am = alt_mask[gpos]
+    for b in range(4):
+        alt[am == (1 << b)] = b
+    log(f"{len(gpos)/1e6:.2f}M SNP positions recovered from mixRef")
+    build_s = 0.0
+else:
+    log(f"synthesizing {GENOME_LEN/1e6:.0f}MB genome, {N_CONTIG} contigs...")
+    codes = rng.integers(0, 4, GENOME_LEN, dtype=np.int64).astype(np.uint8)
+
+# SNPs at ~1/SNP_EVERY bp (global positions, then split per contig)
+if not LOAD_PREFIX:
+    n_snp = GENOME_LEN // SNP_EVERY
+    gpos = np.sort(rng.choice(GENOME_LEN, size=n_snp,
+                              replace=False).astype(np.int64))
+    ref_codes = codes[gpos]
+    alt = ((ref_codes + rng.integers(1, 4, n_snp)) % 4).astype(np.uint8)
+    stype_all = ((1 << ref_codes) | (1 << alt)
+                 | (ref_codes << 4)).astype(np.uint8)
+
+    clen = GENOME_LEN // N_CONTIG
+    contig_data = []
+    blocks = []
+    for ci in range(N_CONTIG):
+        s0 = ci * clen
+        s1 = GENOME_LEN if ci == N_CONTIG - 1 else (ci + 1) * clen
+        # char array, NOT a python str: build_index_from_data takes uint8
+        contig_data.append((f"chr{ci+1}", "synthetic", lut[codes[s0:s1]]))
+        sel = (gpos >= s0) & (gpos < s1)
+        blocks.append(SnpBlock(f"chr{ci+1}",
+                               (gpos[sel] - s0).astype(np.uint32),
+                               stype_all[sel]))
+    log(f"{n_snp/1e6:.2f}M SNPs synthesized")
+
+    t0 = time.time()
+    idx = build_index_from_data(contig_data, blocks, l_seed=19)
+    build_s = time.time() - t0
+    log(f"index built in {build_s:.1f}s "
+        f"(text {idx.r_text_len/1e6:.1f}M local-pattern chars); "
+        f"peak RSS {rss_gb():.2f}GB = {rss_gb()*1e9/GENOME_LEN:.1f} B/base")
+    if SAVE_PREFIX:
+        from salt_tpu.index.store import save_index
+
+        t0 = time.time()
+        save_index(idx, SAVE_PREFIX)
+        sz = sum(os.path.getsize(os.path.join(d, f))
+                 for d, _s, fs in os.walk(os.path.dirname(SAVE_PREFIX) or ".")
+                 for f in fs if f.startswith(os.path.basename(SAVE_PREFIX)))
+        log(f"saved to {SAVE_PREFIX} in {time.time()-t0:.1f}s "
+            f"({sz/1e9:.2f}GB)")
+    if BUILD_ONLY:
+        sys.exit(0)
 
 # reads from the SNP-mutated haplotype + 0.1% errors
-hap = codes
-hap[gpos] = alt   # in place: codes not needed pristine anymore
+# (in load mode codes IS idx.pac — copy before mutating)
+hap = codes.copy() if LOAD_PREFIX else codes
+hap[gpos] = alt
+del alt, gpos
 starts = rng.integers(0, GENOME_LEN - L, N_READS)
 reads = []
 for s in starts:
@@ -106,18 +143,18 @@ del hap, codes
 
 recs = [SeqRecord(name=f"r{i}_{starts[i]}", comment=None, seq=s, qual="I" * L)
         for i, s in enumerate(reads)]
-opts = SEOptions(l_overlap=1, max_locate=500, batch_size=4096, gap_batch=128,
-                 sa_mode=SA_MODE)
+opts = SEOptions(l_overlap=1, max_locate=500, batch_size=BATCH,
+                 gap_batch=128, sa_mode=SA_MODE)
 t0 = time.time()
 al = SEAligner(idx, opts)
 log(f"device index loaded in {time.time()-t0:.1f}s (sa_mode={SA_MODE})")
 t0 = time.time()
-out1 = al.align_records(recs[:4096])
+out1 = al.align_records(recs[:BATCH])
 log(f"warmup batch {time.time()-t0:.1f}s")
 t0 = time.time()
-out = al.align_records(recs[4096:])
+out = al.align_records(recs[BATCH:])
 dt = time.time() - t0
-n = len(recs) - 4096
+n = len(recs) - BATCH
 log(f"aligned {n} reads in {dt:.2f}s -> {n/dt:.0f} reads/s")
 
 # accuracy: primary position within 5bp of truth.  Truth starts are
@@ -132,7 +169,7 @@ for i, line in enumerate(out):
     if f[2] == "*":
         continue
     tot += 1
-    truth = int(recs[4096 + i].name.split("_")[1])
+    truth = int(recs[BATCH + i].name.split("_")[1])
     if abs(offs[f[2]] + int(f[3]) - 1 - truth) <= 5:
         ok += 1
 log(f"accuracy: {ok}/{tot} primaries within 5bp of truth "
