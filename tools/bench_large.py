@@ -139,7 +139,9 @@ for s in starts:
     err = rng.random(L) < 0.001
     r[err] = rng.integers(0, 4, int(err.sum()))
     reads.append(lut[r].tobytes().decode("latin1"))
-del hap, codes
+if "--pe" not in sys.argv:
+    del hap
+del codes
 
 recs = [SeqRecord(name=f"r{i}_{starts[i]}", comment=None, seq=s, qual="I" * L)
         for i, s in enumerate(reads)]
@@ -174,3 +176,36 @@ for i, line in enumerate(out):
         ok += 1
 log(f"accuracy: {ok}/{tot} primaries within 5bp of truth "
     f"({100.0*ok/max(tot,1):.2f}%), {n - tot} unmapped")
+
+if "--pe" in sys.argv:
+    # PE pairs/s on the same genome (the BASELINE north-star metric is
+    # whole-genome PE reads/s/chip): proper-orientation pairs with
+    # insert ~N(500, 50) drawn from the mutated haplotype
+    from salt_tpu.pipeline.pe_engine import PEAligner, PEOptions
+
+    n_pairs = BATCH * 2
+    p_starts = rng.integers(0, GENOME_LEN - 700, n_pairs + BATCH // 2)
+    isize = np.clip(rng.normal(500, 50, len(p_starts)).astype(np.int64),
+                    2 * L + 10, 680)
+    r1l, r2l = [], []
+    for s, d in zip(p_starts, isize):
+        a = hap[s : s + L]
+        b = hap[s + d - L : s + d][::-1]
+        b = np.where(b < 4, 3 - b, 4).astype(np.uint8)
+        r1l.append(lut[a].tobytes().decode("latin1"))
+        r2l.append(lut[b].tobytes().decode("latin1"))
+    mk = lambda rs: [SeqRecord(name=f"p{i}", comment=None, seq=s,
+                               qual="I" * L) for i, s in enumerate(rs)]
+    pr1, pr2 = mk(r1l), mk(r2l)
+    opts_pe = PEOptions(l_overlap=1, max_locate=500, print_nm_md=True,
+                        print_xa_cigar=True, batch_size=BATCH,
+                        gap_batch=128, sa_mode=SA_MODE,
+                        min_tlen=350, max_tlen=650)
+    al_pe = PEAligner(idx, opts_pe)
+    t0 = time.time()
+    al_pe.align_pairs(pr1[: BATCH // 2], pr2[: BATCH // 2])  # warmup
+    log(f"PE warmup {time.time()-t0:.1f}s")
+    t0 = time.time()
+    al_pe.align_pairs(pr1[BATCH // 2 :], pr2[BATCH // 2 :])
+    dt = time.time() - t0
+    log(f"PE: {n_pairs} pairs in {dt:.2f}s -> {n_pairs/dt:.0f} pairs/s")
