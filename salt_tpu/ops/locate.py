@@ -44,11 +44,17 @@ def _get4(words: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
 
 def resolve_sampled(sampled, ri_c, ri_r, rank, is_r, active):
     """Rank -> coordinate via bounded LF walks against the sampled-SA
-    tables (pipeline/device_index.SampledSA): C lanes walk to a
-    text-position-sampled rank (<= intv-1 steps), R lanes to the
-    segment's leading '#' rank (<= max local-pattern length).  Exactly
-    reproduces the full-table values, including the csa[0] quirk and
-    UINT32_MAX at '#' positions."""
+    tables (pipeline/device_index.SampledSA): both families walk to a
+    flagged stop rank within intv-1 steps (C: text-position-sampled;
+    R: '#' anchors + coordinate-sampled).  Exactly reproduces the
+    full-table values, including the csa[0] quirk and UINT32_MAX at
+    '#' positions.
+
+    The C and R select/symbol/value tables are concatenated, so each
+    iteration pays ONE fused gather per structure with a per-lane
+    family offset; only the rank query itself needs both families'
+    bit-plane tables (the planes are shared with the seeding stage, so
+    concatenating them would double their HBM)."""
     from .rank import rank_excl, umin
 
     s = sampled
@@ -58,35 +64,27 @@ def resolve_sampled(sampled, ri_c, ri_r, rank, is_r, active):
     # whole-genome C texts (n1c >= 2^31); every comparison/clip/shift on
     # them goes through uint32.  Bounds as uint32 scalars (a python int
     # >= 2^31 cannot become an int32 literal).
-    bound_c = jnp.uint32(n1c - 1)
-    bound_r = jnp.uint32(n1r - 1)
+    bound = jnp.where(is_r, jnp.uint32(n1r - 1), jnp.uint32(n1c - 1))
+    woff = jnp.where(is_r, jnp.int32(s.c_words), jnp.int32(0))
+    seloff = jnp.where(is_r, jnp.int32(s.c_sel_rows), jnp.int32(0))
+    sampoff = jnp.where(is_r, jnp.int32(s.c_n_samples), jnp.int32(0))
 
-    def sel_row(k, sel):
-        w = (k.astype(jnp.uint32) >> 5).astype(jnp.int32)
-        return sel[jnp.clip(w, 0, sel.shape[0] - 1)]
+    def sel_row(k):
+        w = (k.astype(jnp.uint32) >> 5).astype(jnp.int32) + seloff
+        return s.sel_cat[jnp.clip(w, 0, s.sel_cat.shape[0] - 1)]
 
-    def bit_done(k, sel):
-        row = sel_row(k, sel)
+    def is_done(k):
+        row = sel_row(k)
         bit = (row[..., 1].astype(jnp.uint32)
                >> (k.astype(jnp.uint32) & 31)) & 1
         return bit == 1
 
-    def c_done(k):
-        return bit_done(k, s.c_sel)
-
-    def r_done(k):
-        # stop at '#' ranks OR coordinate-sampled ranks (both flagged
-        # in r_sel) — bounds the R walk at intv-1 steps
-        return bit_done(k, s.r_sel)
-
-    k0 = umin(rank, jnp.where(is_r, bound_r, bound_c))
-    done0 = ~active | jnp.where(is_r, r_done(k0), c_done(k0))
+    k0 = umin(rank, bound)
+    done0 = ~active | is_done(k0)
     steps0 = jnp.zeros_like(k0)
 
-    # hard trip bound: C walks stop within intv-1 steps (text-position
-    # sampling), R walks within the longest local-pattern segment.  The
-    # bound guarantees termination even on degenerate lanes (e.g. a
-    # zero-SNP index has NO '#' ranks, so r_done can never fire).
+    # hard trip bound: guarantees termination even on degenerate lanes
+    # (e.g. a zero-SNP index has no R stop ranks at all)
     max_steps = max(int(s.intv), int(s.max_r_walk)) + 1
 
     def cond(st):
@@ -94,42 +92,36 @@ def resolve_sampled(sampled, ri_c, ri_r, rank, is_r, active):
 
     def body(st):
         k, steps, done = st
-        sym_c = _get4(s.c_syms, k)
-        sym_r = _get4(s.r_syms, k)
-        kc = ri_c.cfreq[jnp.clip(sym_c, 0, 5)] + rank_excl(
-            ri_c, umin(k, jnp.uint32(n1c)), jnp.clip(sym_c, 0, 4)) + 1
-        kr = ri_r.cfreq[jnp.clip(sym_r, 0, 6)] + rank_excl(
-            ri_r, umin(k, jnp.uint32(n1r)), jnp.clip(sym_r, 0, 5)) + 1
-        kn = umin(jnp.where(is_r, kr, kc),
-                  jnp.where(is_r, bound_r, bound_c))
+        ku = k.astype(jnp.uint32)
+        w = jnp.clip((ku >> 3).astype(jnp.int32) + woff, 0,
+                     s.syms_cat.shape[0] - 1)
+        word = s.syms_cat[w].astype(jnp.uint32)
+        sym = ((word >> ((ku & 7) * 4)) & 15).astype(jnp.int32)
+        kc = ri_c.cfreq[jnp.clip(sym, 0, 5)] + rank_excl(
+            ri_c, umin(k, jnp.uint32(n1c)), jnp.clip(sym, 0, 4)) + 1
+        kr = ri_r.cfreq[jnp.clip(sym, 0, 6)] + rank_excl(
+            ri_r, umin(k, jnp.uint32(n1r)), jnp.clip(sym, 0, 5)) + 1
+        kn = umin(jnp.where(is_r, kr, kc), bound)
         k = jnp.where(done, k, kn)
         steps = steps + (~done).astype(jnp.int32)
-        done = done | jnp.where(is_r, r_done(k), c_done(k))
+        done = done | is_done(k)
         return k, steps, done
 
     k, steps, _ = jax.lax.while_loop(cond, body, (k0, steps0, done0))
 
-    def slot_of(k, sel):
-        row = sel_row(k, sel)
-        kl = k.astype(jnp.uint32) & 31
-        mask = jnp.where(kl > 0, (jnp.uint32(1) << kl) - jnp.uint32(1),
-                         jnp.uint32(0))
-        return row[..., 0] + jax.lax.population_count(
-            row[..., 1].astype(jnp.uint32) & mask).astype(jnp.int32)
-
-    slot_c = slot_of(k, s.c_sel)
-    val_c = s.c_samples[jnp.clip(slot_c, 0, s.c_samples.shape[0] - 1)]
-    val_c = val_c + steps.astype(jnp.uint32)
-
-    slot_r = slot_of(k, s.r_sel)
-    v_r = s.r_samples[jnp.clip(slot_r, 0, s.r_samples.shape[0] - 1)]
+    row = sel_row(k)
+    kl = k.astype(jnp.uint32) & 31
+    mask = jnp.where(kl > 0, (jnp.uint32(1) << kl) - jnp.uint32(1),
+                     jnp.uint32(0))
+    slot = row[..., 0] + jax.lax.population_count(
+        row[..., 1].astype(jnp.uint32) & mask).astype(jnp.int32) + sampoff
+    val = s.samples_cat[jnp.clip(slot, 0, s.samples_cat.shape[0] - 1)]
     on_sharp = (k >= s.sharp_lo) & (k < s.sharp_hi)
-    val_r = jnp.where(
-        (steps == 0) & on_sharp,
+    return jnp.where(
+        is_r & (steps == 0) & on_sharp,
         jnp.uint32(UINT32_MAX),  # candidate ON a '#': full table says so
-        v_r + steps.astype(jnp.uint32),
+        val + steps.astype(jnp.uint32),
     )
-    return jnp.where(is_r, val_r, val_c)
 
 
 def locate(

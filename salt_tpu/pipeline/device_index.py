@@ -87,38 +87,41 @@ class SampledSA:
     single 16GB chip.
     """
 
-    c_sel: jnp.ndarray       # int32 [Wc, 2] fused (excl-count, bitword)
-    c_samples: jnp.ndarray   # uint32 [n_sampled] positions in rank order
-    c_syms: jnp.ndarray      # uint32 [ceil((n+1)/8)] 4-bit C BWT symbols
-    r_syms: jnp.ndarray      # uint32 [ceil((T+1)/8)] 4-bit R BWT symbols
-    r_sel: jnp.ndarray       # int32 [Wr, 2] fused select over R ranks:
-                             # bit set at '#' ranks AND at ranks whose
-                             # coordinate % intv == 0 — coordinates
-                             # decrease by 1 per LF step inside a
-                             # segment, so every R walk stops within
-                             # intv-1 steps (round-3's '#'-only anchors
-                             # walked up to the longest local pattern,
-                             # ~5x more iterations)
-    r_samples: jnp.ndarray   # uint32 value per set rank, rank order
-    sharp_lo: int            # first '#' rank (r_cumfreq[4] + 1)
-    sharp_hi: int            # one past last '#' rank
+    # C and R structures are CONCATENATED (C first) so each walk
+    # iteration pays one fused gather per structure with a per-lane
+    # family offset, instead of one per family (resolve_sampled is
+    # gather-bound; fusing cut its per-iteration gathers 6 -> 4).
+    #
+    # Stop ranks: C — text position % intv == 0 (value = position);
+    # R — '#' ranks (value = sharp coordinate base) AND ranks whose
+    # coordinate % intv == 0 (value = that coordinate; coordinates
+    # decrease by 1 per LF step inside a segment, so every walk stops
+    # within intv-1 steps for BOTH families).
+    sel_cat: jnp.ndarray      # int32 [Wc+Wr, 2] fused (excl-count, bits)
+    samples_cat: jnp.ndarray  # uint32 stop values, C block then R block
+    syms_cat: jnp.ndarray     # uint32 4-bit packed BWT syms, C then R
+    c_words: int              # word count of the C block in syms_cat
+    c_sel_rows: int           # row count of the C block in sel_cat
+    c_n_samples: int          # value count of the C block
+    sharp_lo: int             # first '#' rank (r_cumfreq[4] + 1)
+    sharp_hi: int             # one past last '#' rank
     intv: int
-    max_r_walk: int          # walk bound (== intv now; kept in aux)
+    max_r_walk: int           # walk bound (== intv)
 
     def tree_flatten(self):
         return (
-            (self.c_sel, self.c_samples, self.c_syms, self.r_syms,
-             self.r_sel, self.r_samples),
-            (self.sharp_lo, self.sharp_hi, self.intv, self.max_r_walk),
+            (self.sel_cat, self.samples_cat, self.syms_cat),
+            (self.c_words, self.c_sel_rows, self.c_n_samples,
+             self.sharp_lo, self.sharp_hi, self.intv, self.max_r_walk),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        c_sel, c_samples, c_syms, r_syms, r_sel, r_samples = children
-        return cls(c_sel=c_sel, c_samples=c_samples, c_syms=c_syms,
-                   r_syms=r_syms, r_sel=r_sel, r_samples=r_samples,
-                   sharp_lo=aux[0], sharp_hi=aux[1], intv=aux[2],
-                   max_r_walk=aux[3])
+        sel_cat, samples_cat, syms_cat = children
+        return cls(sel_cat=sel_cat, samples_cat=samples_cat,
+                   syms_cat=syms_cat, c_words=aux[0], c_sel_rows=aux[1],
+                   c_n_samples=aux[2], sharp_lo=aux[3], sharp_hi=aux[4],
+                   intv=aux[5], max_r_walk=aux[6])
 
 
 def _pack4(vals: np.ndarray) -> np.ndarray:
@@ -186,13 +189,15 @@ def build_sampled_sa(idx: SaltIndex, intv: int = 8) -> SampledSA:
         # zero-SNP index: no local patterns at all; keep one dummy slot
         # so gathers stay in-bounds (no R lane is ever active)
         r_samples = np.array([0x80000000], dtype=np.uint32)
+    c_words_arr = _pack4(idx.cbwt)
+    r_words_arr = _pack4(idx.rbwt)
     return SampledSA(
-        c_sel=jnp.asarray(c_sel),
-        c_samples=jnp.asarray(c_samples),
-        c_syms=jnp.asarray(_pack4(idx.cbwt)),
-        r_syms=jnp.asarray(_pack4(idx.rbwt)),
-        r_sel=jnp.asarray(r_sel),
-        r_samples=jnp.asarray(r_samples),
+        sel_cat=jnp.asarray(np.concatenate([c_sel, r_sel])),
+        samples_cat=jnp.asarray(np.concatenate([c_samples, r_samples])),
+        syms_cat=jnp.asarray(np.concatenate([c_words_arr, r_words_arr])),
+        c_words=len(c_words_arr),
+        c_sel_rows=W,
+        c_n_samples=len(c_samples),
         sharp_lo=sharp_lo,
         sharp_hi=sharp_hi,
         intv=intv,

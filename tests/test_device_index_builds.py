@@ -101,7 +101,8 @@ def test_zero_snp_index_loads_all_modes(small_index):
     assert np.array_equal(dev[:n1c], idx0.csa)
     assert np.all(dev[n1c:] == 0xFFFFFFFF)
     dix2, sampled = to_device_index(idx0, sa_mode="sampled")
-    assert sampled.r_samples.shape[0] == 1  # padded dummy slot
+    # R block holds exactly the padded dummy slot
+    assert sampled.samples_cat.shape[0] == sampled.c_n_samples + 1
 
 
 def test_derived_sa_cat_matches_host(small_index):
