@@ -389,23 +389,21 @@ class ShardedSEAligner(SEAligner):
         per-shard loci, lift to global coordinates, merge-sort into the
         monolithic scan order, then reuse the winner-selection host SW."""
         lp0, lk0, lp1, lk1 = loci_dev
-        selr = jnp.asarray(rows)
-        base = self.stacked.base_offsets.astype(np.uint32)
-        lpac = np.asarray(self.shard_l_pac)
-
-        def lift(lp, lk):
-            # (S, B, CAP) -> per-read sorted global stream
-            p = np.asarray(lp[:, selr])          # (S, n, CAP)
-            kk = np.asarray(lk[:, selr])
-            ok = kk & (p < lpac[:, None, None].astype(np.uint32))
-            g = np.where(ok, p + base[:, None, None], np.uint32(UINT32_MAX))
-            S, n, CAP = g.shape
-            g = np.moveaxis(g, 0, 1).reshape(n, S * CAP)
-            g.sort(axis=-1)
-            return g, g != np.uint32(UINT32_MAX)
-
-        g0, k0 = lift(lp0, lk0)
-        g1, k1 = lift(lp1, lk1)
+        n = len(rows)
+        # bucket the selection width so the jitted lift compiles per
+        # bucket, not per batch; pad rows repeat row 0 (ignored below)
+        bucket = 8
+        while bucket < n:
+            bucket *= 2
+        sel_rows = np.zeros(bucket, dtype=np.int32)
+        sel_rows[:n] = rows
+        fn = self._lift_prog(bucket)
+        g0d, g1d = fn(lp0, lk0, lp1, lk1, self._rep(jnp.asarray(sel_rows)),
+                      self._base_dev, self._lpac_dev)
+        g0 = np.asarray(g0d)[:n]
+        g1 = np.asarray(g1d)[:n]
+        k0 = g0 != np.uint32(UINT32_MAX)
+        k1 = g1 != np.uint32(UINT32_MAX)
 
         class _O:
             pass
@@ -434,6 +432,34 @@ class ShardedSEAligner(SEAligner):
             gb, kb = self._lift_one(fa1, fk1, i)
             fl[r] = ((ga, ka), (gb, kb))
         self._sw_extend(rows, out, fl, L, fwd, rev, sw_res)
+
+    def _lift_prog(self, n_sel):
+        """Device-side cross-shard loci lift for the -X 1 path: gather
+        the selected rows' per-shard loci, mask to in-shard, add the
+        shard base offsets, and merge-sort into the monolithic global
+        scan order — all on the mesh (the old host-numpy lift
+        materialized per-shard loci on the host, a cliff at
+        whole-genome shard counts)."""
+        key = ("lift", n_sel)
+        if key in self._progs:
+            return self._progs[key]
+        import jax.numpy as jnp
+
+        @jax.jit
+        def f(lp0, lk0, lp1, lk1, sel, base, lpac):
+            def one(lp, lk):
+                p = lp[:, sel]                       # (S, n_sel, CAP)
+                ok = lk[:, sel] & (p < lpac[:, None, None].astype(jnp.uint32))
+                g = jnp.where(ok, p + base[:, None, None].astype(jnp.uint32),
+                              jnp.uint32(UINT32_MAX))
+                g = jnp.moveaxis(g, 0, 1).reshape(n_sel, -1)
+                (gs,) = jax.lax.sort([g], dimension=1, num_keys=1)
+                return gs
+
+            return one(lp0, lk0), one(lp1, lk1)
+
+        self._progs[key] = f
+        return f
 
     def _lift_one(self, lp, lk, i):
         base = self.stacked.base_offsets.astype(np.uint32)

@@ -138,3 +138,25 @@ def test_sharded_pe_sam_byte_identical(fixture):
         f"{n_diff}/{len(mono)} PE records diverge; first: "
         f"{next((a, b) for a, b in zip(mono, shard) if a != b)}"
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < N_SHARDS,
+                    reason=f"needs {N_SHARDS} devices")
+def test_sharded_sw_extend_byte_identical(fixture):
+    """-X 1 (SW extension) on the sharded path vs monolithic — covers
+    the cross-shard loci lift feeding the SW winner selection."""
+    from salt_tpu.parallel.sharded_engine import build_sharded_se
+
+    contig_data, blocks, recs = fixture
+    mono_idx = build_index_from_data(contig_data, blocks, l_seed=19)
+    mono = SEAligner(mono_idx,
+                     _se_opts(extend_algo="sw")).align_records(recs)
+    sharded_al = build_sharded_se(contig_data, blocks, N_SHARDS,
+                                  opts=_se_opts(extend_algo="sw"),
+                                  l_seed=19)
+    shard = sharded_al.align_records(recs)
+    n_diff = sum(1 for a, b in zip(mono, shard) if a != b)
+    assert n_diff == 0, (
+        f"{n_diff}/{len(mono)} -X 1 records diverge; first: "
+        f"{next((a, b) for a, b in zip(mono, shard) if a != b)}"
+    )
