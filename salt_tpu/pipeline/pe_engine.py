@@ -23,8 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import (
-    DEFAULT_MAX_LOCATE,
-    DEFAULT_MAX_SEED,
     DEFAULT_MAX_TLEN,
     DEFAULT_MIN_TLEN,
     PE_MAX_N_AMBIGUOUS,
@@ -39,7 +37,6 @@ from ..io.fasta import read_records, trim_readno
 from ..io.sam import emit_pe, sam_header
 from ..ops.lv import NT2BIT_NP, lv_cigar_host
 from ..ops.ssw import SCORE_MAT5, SCORE_MAT16, ssw_align
-from .device_index import to_device_index
 from .engine import SEOptions, SEAligner, gen_mapq, revcomp, set_hits
 
 
