@@ -114,11 +114,21 @@ def main(argv=None):
     )
     sim.add_argument("rest", nargs=argparse.REMAINDER)
 
+    rt = sub.add_parser(
+        "readtools", help="FASTQ downsampler / unmapped-record dump",
+        add_help=False,
+    )
+    rt.add_argument("rest", nargs=argparse.REMAINDER)
+
     args = ap.parse_args(argv)
     if args.cmd == "wgsim":
         from .sim.wgsim import wgsim_main
 
         return wgsim_main(args.rest)
+    if args.cmd == "readtools":
+        from .eval.readtools import readtools_main
+
+        return readtools_main(args.rest)
     if args.cmd == "snp-etl":
         from .etl.snp_etl import _main as etl_main
 
