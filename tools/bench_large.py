@@ -183,6 +183,15 @@ if "--pe" in sys.argv:
     # insert ~N(500, 50) drawn from the mutated haplotype
     from salt_tpu.pipeline.pe_engine import PEAligner, PEOptions
 
+    # the PE engine builds its own device index — release the SE
+    # engine's first or a whole-genome index is resident TWICE (16GB
+    # chip, ~12GB each: instant ResourceExhausted)
+    import gc
+
+    del al, out1, out
+    gc.collect()
+    log("SE engine released")
+
     n_pairs = BATCH * 2
     p_starts = rng.integers(0, GENOME_LEN - 700, n_pairs + BATCH // 2)
     isize = np.clip(rng.normal(500, 50, len(p_starts)).astype(np.int64),
