@@ -35,6 +35,69 @@ LANES = 128
 NEG = -(2**20)  # plain int: jnp scalars would be captured consts in the kernel
 
 
+def _sw_fori_kernel(revref_ref, reads_ref, reflen_ref, out_ref, *,
+                    LP: int, WP: int, L: int, snp_mode: bool,
+                    go: int, ge: int):
+    from jax.experimental import pallas as pl
+
+    reads = reads_ref[...]                      # (LP, LANES) int32
+    reflen = reflen_ref[0:1, :]                 # (1, LANES) int32
+    ii = jax.lax.broadcasted_iota(jnp.int32, (LP, LANES), 0)
+
+    goc = jnp.int32(go)
+    gec = jnp.int32(ge)
+
+    def score(r):
+        if snp_mode:
+            r_ok = (r != 0) & ((r & (r - 1)) == 0)
+            hit = r_ok & ((r & reads) != 0)
+            return jnp.where(hit, jnp.int32(1), jnp.int32(-3))
+        any_n = (r >= 4) | (reads >= 4)
+        eq = r == reads
+        return jnp.where(
+            any_n, jnp.int32(-1),
+            jnp.where(eq, jnp.int32(1), jnp.int32(-3)),
+        )
+
+    def shift_down(x, fill):
+        top = jnp.full((1, LANES), fill, jnp.int32)
+        return jnp.concatenate([top, x[:-1]], axis=0)
+
+    negc = jnp.int32(NEG)
+    zero = jnp.zeros((LP, LANES), jnp.int32)
+    neg = jnp.full((LP, LANES), NEG, jnp.int32)
+
+    def step(d, carry):
+        h1, h2, e1, f1, best = carry            # diag d-1, d-2 state
+        off = WP + LP - 1 - d
+        # dynamic-start load on the SUBLANE axis straight from the VMEM
+        # ref — Mosaic lowers pl.ds here, whereas a dynamic_slice of the
+        # materialized tile does not (it was this kernel's only
+        # unloweralbe op; round-3's silent fallback hid that it had
+        # never compiled on real hardware)
+        ref_d = revref_ref[pl.ds(off, LP), :]
+        s = score(ref_d)
+        e = jnp.maximum(e1 - gec, h1 - goc)
+        h1s = shift_down(h1, 0)
+        f1s = shift_down(f1, negc)
+        f = jnp.maximum(f1s - gec, h1s - goc)
+        h2s = shift_down(h2, 0)
+        h = jnp.maximum(jnp.maximum(h2s + s, jnp.maximum(e, f)),
+                        jnp.int32(0))
+        valid = (ii < L) & (ii <= d) & (ii >= d - reflen + 1)
+        h = jnp.where(valid, h, 0)
+        e = jnp.where(valid, e, negc)
+        f = jnp.where(valid, f, negc)
+        best = jnp.maximum(best, jnp.max(h, axis=0, keepdims=True))
+        return (h, h1, e, f, best)
+
+    best0 = jnp.zeros((1, LANES), jnp.int32)
+    _, _, _, _, best = jax.lax.fori_loop(
+        0, LP + WP - 1, step, (zero, zero, neg, neg, best0)
+    )
+    out_ref[...] = jnp.broadcast_to(best, (8, LANES))
+
+
 def _sw_grid_kernel(revwin_ref, reads_ref, reflen_ref, out_ref,
                     h1_ref, h2_ref, e1_ref, f1_ref, best_ref, *,
                     LP: int, ND: int, L: int, snp_mode: bool,
@@ -139,6 +202,32 @@ def sw_score_batch_pallas(
     reflen = jnp.broadcast_to(
         jnp.pad(ref_len.astype(jnp.int32), (0, padB))[None, :], (8, NB)
     )
+
+    import os as _os
+
+    if _os.environ.get("SALT_TPU_SW_KERNEL", "grid") == "fori":
+        # alternate formulation: one grid step per candidate tile, the
+        # diagonal walk as an in-kernel fori_loop with a pl.ds window
+        # read.  Kept selectable because the relay's Mosaic build
+        # rejects kernels unpredictably — probe both on new toolchains.
+        out = pl.pallas_call(
+            partial(_sw_fori_kernel, LP=LP, WP=WP, L=L, snp_mode=snp_mode,
+                    go=gap_open, ge=gap_extend),
+            out_shape=jax.ShapeDtypeStruct((8, NB), jnp.int32),
+            grid=(NB // LANES,),
+            in_specs=[
+                pl.BlockSpec((WP + 2 * LP, LANES), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((LP, LANES), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, LANES), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((8, LANES), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(revref, reads_t, reflen)
+        return out[0, :B]
 
     grid = (NB // LANES, ND)
     out = pl.pallas_call(
