@@ -93,7 +93,76 @@ def _lv_tile_kernel(text_ref, pat_ref, out_ref, *, k: int, L: int, TL: int):
     out_ref[...] = out
 
 
-@partial(jax.jit, static_argnames=("k", "interpret", "text_words"))
+def _lv_tile_kernel_v2(text_ref, pat_ref, out_ref, *, k: int, L: int,
+                       TL: int):
+    """Reduction-lean variant (SALT_TPU_LV_KERNEL=v2): the inner
+    (e, diagonal) loop pays TWO full-height reductions instead of four.
+    Per diagonal, precompute once:
+      nm_d[i]  — first j >= i with a mismatch (suffix-min by doubling:
+                 7 shift+min steps), replacing first_and_zero's scan
+      eq_d[i]  — the seed-cell equality guard plane (pat[i] == text[i])
+    so the inner loop is sel_at(eq_d) + sel_at(nm_d).  Semantics are
+    identical to _lv_tile_kernel (parity-tested in interpret mode);
+    pending on-chip validation before becoming the default."""
+    D = 2 * k + 1
+    text = text_ref[...].astype(jnp.int32)      # (TLP, LANES)
+    pat = pat_ref[...].astype(jnp.int32)        # (L+1, LANES)
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (L + 1, LANES), 0)
+    BIGI = jnp.int32(L + 1)
+
+    def sel_at(arr, idx):
+        return jnp.max(jnp.where(ii == idx, arr, 0), axis=0, keepdims=True)
+
+    # per-diagonal precompute
+    nm = []
+    eq = []
+    for dd in range(D):
+        d = dd - k
+        twin = jax.lax.slice_in_dim(text, d + k, d + k + L + 1, axis=0)
+        m_d = (pat & twin) != 0
+        a = jnp.where(m_d, BIGI, ii)
+        s = 1
+        while s <= L:
+            up = jnp.concatenate(
+                [a[s:], jnp.full((s, LANES), L + 1, jnp.int32)], axis=0)
+            a = jnp.minimum(a, up)
+            s *= 2
+        nm.append(a)
+        eq.append((pat == twin).astype(jnp.int32))
+
+    zero = jnp.zeros((1, LANES), jnp.int32)
+    run0 = jnp.minimum(nm[k][0:1, :], L)
+    result = jnp.where(run0 >= L, 0, BIG)
+
+    NEGR = jnp.full((1, LANES), NEG, jnp.int32)
+    Lrow = [NEGR for _ in range(D)]
+    Lrow[k] = run0
+
+    for e in range(1, k + 1):
+        newLrow = list(Lrow)
+        hit_any = jnp.zeros((1, LANES), bool)
+        for dd in range(k - e, k + e + 1):
+            d = dd - k
+            up = Lrow[dd] + 1
+            left = Lrow[dd - 1] if dd - 1 >= 0 else NEGR
+            right = (Lrow[dd + 1] + 1) if dd + 1 < D else NEGR
+            best = jnp.maximum(jnp.maximum(up, left), right)
+            bestc = jnp.clip(best, 0, L)
+            can_ext = (sel_at(eq[dd], bestc) == 1) & (best >= 0)
+            endl_d = min(L, TL - d)
+            run = jnp.minimum(sel_at(nm[dd], bestc), endl_d)
+            reach = jnp.where(can_ext, run, best)
+            newLrow[dd] = reach
+            hit_any = hit_any | (reach >= L)
+        Lrow = newLrow
+        result = jnp.where(hit_any & (result == BIG), e, result)
+
+    out_ref[...] = jnp.broadcast_to(result, (8, LANES))
+
+
+@partial(jax.jit, static_argnames=("k", "interpret", "text_words",
+                                   "variant"))
 def lv_distance_batch_pallas(
     mixref: jnp.ndarray,   # uint8 [l_mref], or uint32 words (text_words)
     pos: jnp.ndarray,      # int32 (N,)
@@ -102,9 +171,12 @@ def lv_distance_batch_pallas(
     k: int,
     interpret: bool = False,
     text_words: bool = False,
+    variant: str = None,
 ) -> jnp.ndarray:
     """Drop-in equivalent of lv_distance_batch (distances, BIG=255 when
-    inactive/no alignment within k)."""
+    inactive/no alignment within k).  `variant` (default from
+    SALT_TPU_LV_KERNEL, "v1") selects the kernel formulation; "v2" is
+    the reduction-lean rewrite pending on-chip validation."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -148,10 +220,16 @@ def lv_distance_batch_pallas(
     text_t = jnp.pad(text_t, ((0, 0), (0, padN)))        # (TL+2k+1, NP)
     pat_t = jnp.pad(pat.T.astype(jnp.uint8), ((0, 1), (0, padN)))
 
+    import os as _os
+
+    if variant is None:
+        variant = _os.environ.get("SALT_TPU_LV_KERNEL", "v1")
+    kernel = _lv_tile_kernel_v2 if variant == "v2" else _lv_tile_kernel
+
     TLP = TL + 2 * k + 1
     grid = (NP_ // LANES,)
     out = pl.pallas_call(
-        partial(_lv_tile_kernel, k=k, L=L, TL=TL),
+        partial(kernel, k=k, L=L, TL=TL),
         out_shape=jax.ShapeDtypeStruct((8, NP_), jnp.int32),
         grid_spec=pl.GridSpec(
             grid=grid,

@@ -34,3 +34,26 @@ def test_pallas_matches_jnp(k):
         jnp.asarray(mix), jnp.asarray(pos), jnp.asarray(active),
         jnp.asarray(seq), k, interpret=True))
     assert (a == b).all()
+
+
+def test_v2_variant_matches_v1():
+    """The reduction-lean kernel (SALT_TPU_LV_KERNEL=v2) is
+    distance-identical to the default formulation."""
+    import jax.numpy as jnp
+
+    from salt_tpu.ops.lv_pallas import lv_distance_batch_pallas
+
+    rng = np.random.default_rng(17)
+    l_mref = 5000
+    mixref = (1 << rng.integers(0, 4, l_mref)).astype(np.uint8)
+    N, L, k = 256, 100, 10
+    pos = rng.integers(0, l_mref - L - 10, N).astype(np.int32)
+    seqs = rng.integers(0, 4, (N, L)).astype(np.int32)
+    active = rng.random(N) < 0.9
+    a = lv_distance_batch_pallas(jnp.asarray(mixref), jnp.asarray(pos),
+                                 jnp.asarray(active), jnp.asarray(seqs), k,
+                                 interpret=True, variant="v1")
+    b = lv_distance_batch_pallas(jnp.asarray(mixref), jnp.asarray(pos),
+                                 jnp.asarray(active), jnp.asarray(seqs), k,
+                                 interpret=True, variant="v2")
+    assert np.array_equal(np.asarray(a), np.asarray(b))
