@@ -137,6 +137,9 @@ def locate(
     sampled=None,           # SampledSA: LF-walk locate instead of sa_cat
     ri_c=None,
     ri_r=None,
+    chunk=None,             # column block size for in-range-only slot
+                            # processing; None -> $SALT_TPU_LOCATE_CHUNK
+                            # (default 128) at trace time; <=0 -> flat
 ) -> Loci:
     """Returns located candidate positions per read, sorted ascending.
 
@@ -210,26 +213,18 @@ def locate(
     )
     is_r = (key_s & jnp.int32(2**28)) != 0
 
+    # per-seed counts are clamped at cap+1 before the prefix sum so
+    # `cum`/`total` stay inside int32 for any seed set (2S * (cap+1)
+    # << 2^31; unclamped, 2S seeds of 2^28 candidates each would wrap
+    # and silently zero the read's candidates).  Equivalent for every
+    # materialized slot t < cap: a seed owns t iff cum_ex <= t < cum,
+    # and clamping only moves cum values that are already > cap — it
+    # never changes ownership of, or the rank within, a slot below cap,
+    # and (total > cap), the overflow predicate, is preserved.
+    cnt = jnp.minimum(cnt, jnp.int32(cap + 1))
     cum = jnp.cumsum(cnt, axis=-1)                        # inclusive
     total = cum[:, -1]
     cum_ex = cum - cnt                                    # exclusive
-
-    # slot t -> seed index: the covering seed is the first one whose
-    # inclusive cumsum exceeds t, i.e. seed_idx = #{j : cum[j] <= t}
-    # (searchsorted side="right").  Computed as an all-compare reduction
-    # — pure broadcast compare + sum on the VPU, which XLA fuses without
-    # materializing (B, cap, 2S).  Zero-count seeds share their
-    # predecessor's cum value and are skipped for free.  This replaces a
-    # scatter-max + running-max scan whose TPU lowering was pathological
-    # to compile (round-3 finding: the scatter variant put se_ungapped's
-    # XLA:TPU compile beyond 10 minutes), and a binary-search gather
-    # formulation whose per-element row gathers ran 5x slower than the
-    # whole round-2 locate step.
-    slots = jnp.arange(cap, dtype=jnp.int32)
-    seed_idx = jnp.sum(
-        cum[:, None, :] <= slots[None, :, None], axis=-1, dtype=jnp.int32
-    )                                                     # (B, cap)
-    in_range = slots[None, :] < total[:, None]
 
     # fused per-seed attribute gather: one 2-wide row gather.  rank =
     # sp + (slot - cum_ex) * skip is refactored to fused + slot * skip
@@ -243,35 +238,105 @@ def locate(
     fused = sp - cum_ex * skip
     packed = (skip << 12) | (off << 1) | is_r.astype(jnp.int32)
     attrs = jnp.stack([fused, packed], axis=-1)           # (B, 2S, 2)
-    rows = jnp.take_along_axis(
-        attrs, jnp.clip(seed_idx, 0, 2 * S - 1)[..., None], axis=1
-    )                                                     # (B, cap, 2)
-    rank = rows[..., 0] + slots[None, :] * (rows[..., 1] >> 12)
-    slot_is_r = (rows[..., 1] & 1).astype(bool)
-    offset = (rows[..., 1] >> 1) & jnp.int32(0x7FF)
 
-    if sampled is not None:
-        sa_val = resolve_sampled(sampled, ri_c, ri_r, rank, slot_is_r,
-                                 in_range)
-    else:
-        rank_c = jnp.clip(rank, 0, c_sa_len - 1)
-        rank_r = jnp.clip(rank, 0, sa_cat.shape[0] - c_sa_len - 1) + c_sa_len
-        sa_val = sa_cat[jnp.where(slot_is_r, rank_r, rank_c)]
-    pos = (sa_val.astype(jnp.uint32) - offset.astype(jnp.uint32))
+    def slot_block(slots):
+        """Per-slot candidate materialization for a column block.
 
-    end_u = pos + jnp.uint32(l_seq)  # uint32 wraparound, as in C
-    ok_c = end_u <= jnp.uint32(l_mref)
-    ok_r = (pos <= jnp.uint32(l_mref)) & ok_c
-    valid_push = in_range & jnp.where(slot_is_r, ok_r, ok_c)
+        slot t -> seed index: the covering seed is the first one whose
+        inclusive cumsum exceeds t, i.e. seed_idx = #{j : cum[j] <= t}
+        (searchsorted side="right").  Computed as an all-compare
+        reduction — pure broadcast compare + sum on the VPU, which XLA
+        fuses without materializing (B, |slots|, 2S).  Zero-count seeds
+        share their predecessor's cum value and are skipped for free.
+        This replaces a scatter-max + running-max scan whose TPU
+        lowering was pathological to compile (round-3 finding: the
+        scatter variant put se_ungapped's XLA:TPU compile beyond 10
+        minutes), and a binary-search gather formulation whose
+        per-element row gathers ran 5x slower than the whole round-2
+        locate step.  Returns (pos, valid_push) for the block."""
+        seed_idx = jnp.sum(
+            cum[:, None, :] <= slots[None, :, None], axis=-1,
+            dtype=jnp.int32,
+        )                                                 # (B, |slots|)
+        in_range = (slots[None, :] < total[:, None]) & (slots[None, :] < cap)
+        rows = jnp.take_along_axis(
+            attrs, jnp.clip(seed_idx, 0, 2 * S - 1)[..., None], axis=1
+        )                                                 # (B, |slots|, 2)
+        rank = rows[..., 0] + slots[None, :] * (rows[..., 1] >> 12)
+        slot_is_r = (rows[..., 1] & 1).astype(bool)
+        offset = (rows[..., 1] >> 1) & jnp.int32(0x7FF)
 
-    n_before = jnp.cumsum(valid_push.astype(jnp.int32), axis=-1)
+        if sampled is not None:
+            sa_val = resolve_sampled(sampled, ri_c, ri_r, rank, slot_is_r,
+                                     in_range)
+        else:
+            rank_c = jnp.clip(rank, 0, c_sa_len - 1)
+            rank_r = (jnp.clip(rank, 0, sa_cat.shape[0] - c_sa_len - 1)
+                      + c_sa_len)
+            sa_val = sa_cat[jnp.where(slot_is_r, rank_r, rank_c)]
+        pos = (sa_val.astype(jnp.uint32) - offset.astype(jnp.uint32))
+
+        end_u = pos + jnp.uint32(l_seq)  # uint32 wraparound, as in C
+        ok_c = end_u <= jnp.uint32(l_mref)
+        ok_r = (pos <= jnp.uint32(l_mref)) & ok_c
+        valid_push = in_range & jnp.where(slot_is_r, ok_r, ok_c)
+        return pos, valid_push
+
     push_cap = MAX_LOC_POS if pe_mode else max_locate
-    pushed = valid_push & (n_before <= push_cap)
+    if chunk is None:
+        import os as _os
+        chunk = int(_os.environ.get("SALT_TPU_LOCATE_CHUNK", "128"))
+    if chunk <= 0 or cap <= chunk:
+        # flat path: every slot in one block
+        slots = jnp.arange(cap, dtype=jnp.int32)
+        pos, valid_push = slot_block(slots)
+        n_before = jnp.cumsum(valid_push.astype(jnp.int32), axis=-1)
+        pushed = valid_push & (n_before <= push_cap)
+        n_push_final = n_before[:, -1]
+    else:
+        # chunked path: per-slot work (the all-compare seed mapping and,
+        # in sampled mode, the LF-walk resolution — the whole-genome hot
+        # spot) only runs for column blocks that contain in-range slots.
+        # Active slots are a PREFIX of each row (in_range = slot <
+        # total), so a while_loop over column blocks bounded by the
+        # batch max total covers exactly the live work; untouched slots
+        # keep (pos=~0, pushed=False), which downstream treats as
+        # not-pushed (sort_loci keys un-pushed slots 0xFFFFFFFF anyway).
+        CH = chunk
+        n_ch = (cap + CH - 1) // CH
+        pad_cap = n_ch * CH
+        need = jnp.minimum(jnp.max(total), jnp.int32(cap))
+        n_ch_dyn = (need + CH - 1) // CH
+
+        def cond(st):
+            return st[0] < n_ch_dyn
+
+        def body(st):
+            j, pos_buf, push_buf, nb_run = st
+            slots = j * CH + jnp.arange(CH, dtype=jnp.int32)
+            pos, valid_push = slot_block(slots)
+            nb = nb_run[:, None] + jnp.cumsum(
+                valid_push.astype(jnp.int32), axis=-1)
+            pushed = valid_push & (nb <= push_cap)
+            pos_buf = jax.lax.dynamic_update_slice(pos_buf, pos, (0, j * CH))
+            push_buf = jax.lax.dynamic_update_slice(
+                push_buf, pushed, (0, j * CH))
+            return j + 1, pos_buf, push_buf, nb[:, -1]
+
+        j0 = jnp.int32(0)
+        pos_buf = jnp.full((B, pad_cap), UINT32_MAX, dtype=jnp.uint32)
+        push_buf = jnp.zeros((B, pad_cap), dtype=bool)
+        nb0 = jnp.zeros((B,), dtype=jnp.int32)
+        _, pos_buf, push_buf, n_push_final = jax.lax.while_loop(
+            cond, body, (j0, pos_buf, push_buf, nb0))
+        pos = pos_buf[:, :cap]
+        pushed = push_buf[:, :cap]
+
     # overflow: the candidate stream exceeded CAP slots AND the push cap
     # was not yet reached — only then could unmaterialized candidates
     # have produced additional pushes (pushes stop at push_cap anyway,
     # alnse.c:678, so a read that filled its cap is already exact).
-    overflow = (total > cap) & (n_before[:, -1] < push_cap)
+    overflow = (total > cap) & (n_push_final < push_cap)
     return LocateOut(loci=Loci(pos=pos, pushed=pushed), overflow=overflow)
 
 

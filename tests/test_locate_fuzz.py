@@ -67,7 +67,8 @@ def oracle_locate(c_seeds, r_seeds, sa_c, sa_r, l_seq, l_mref,
 
 
 @pytest.mark.parametrize("pe_mode", [False, True])
-def test_locate_fuzz(pe_mode):
+@pytest.mark.parametrize("chunk", [0, 16])  # flat and column-chunked paths
+def test_locate_fuzz(pe_mode, chunk):
     rng = np.random.default_rng(5 if pe_mode else 6)
     B, S = 16, 12
     n_sa = 4096
@@ -94,7 +95,7 @@ def test_locate_fuzz(pe_mode):
 
     cs, rs = rand_seeds(), rand_seeds()
     out = locate(cs, rs, jnp.asarray(sa_cat), n_sa, l_seq, l_mref,
-                 max_locate, cap, pe_mode=pe_mode)
+                 max_locate, cap, pe_mode=pe_mode, chunk=chunk)
     srt = sort_loci(out.loci)
     got_pos = np.asarray(srt.pos)
     got_push = np.asarray(srt.pushed)
