@@ -285,7 +285,13 @@ def locate(
     push_cap = MAX_LOC_POS if pe_mode else max_locate
     if chunk is None:
         import os as _os
-        chunk = int(_os.environ.get("SALT_TPU_LOCATE_CHUNK", "128"))
+        # default: chunked only in sampled mode, where per-slot cost is
+        # the bounded LF walk (~40 HBM gathers/slot) and skipping empty
+        # columns is a large win.  In full mode the per-slot cost is one
+        # fused all-compare + one gather — a single large fused kernel
+        # that the while_loop's serialized iterations would only slow.
+        dflt = "128" if sampled is not None else "0"
+        chunk = int(_os.environ.get("SALT_TPU_LOCATE_CHUNK", dflt))
     if chunk <= 0 or cap <= chunk:
         # flat path: every slot in one block
         slots = jnp.arange(cap, dtype=jnp.int32)

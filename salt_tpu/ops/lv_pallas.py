@@ -161,6 +161,141 @@ def _lv_tile_kernel_v2(text_ref, pat_ref, out_ref, *, k: int, L: int,
     out_ref[...] = jnp.broadcast_to(result, (8, LANES))
 
 
+def _lv_tile_kernel_v3(mm_ref, eq_ref, out_ref, *, k: int, L: int, TL: int,
+                       NW: int):
+    """Multi-candidate-per-sublane, bit-packed formulation (v3).
+
+    v1/v2 carry one candidate per lane: every banded step is a chain of
+    (1, 128)-row ops plus two (L+1, 128) full-height reductions, so the
+    VPU runs 1 of 8 sublanes and the ~k^2 steps serialize into a latency
+    chain (measured 2.36 Gcell/s, ~3% of peak; the v2 reduction-lean
+    rewrite proved reductions were NOT the bound).  v3 re-lays the tile:
+
+      * 1024 candidates per grid step as a full (8, 128) VREG — the
+        same per-step latency chain now serves 8x the candidates;
+      * the per-diagonal match/equality planes arrive BIT-PACKED
+        (NW = ceil((L+1)/32) int32 words per diagonal, packed in XLA
+        outside the kernel), so the two data-dependent lookups per step
+        — "first mismatch at position >= r" and "equality bit at r" —
+        are ~40 elementwise ops (per-lane variable shifts + a float32
+        exponent trick for count-trailing-zeros) instead of (L+1)-row
+        iota-compare reductions.
+
+    State per diagonal is one (8, 128) int32 VREG; all slicing is
+    static; no gathers, no dynamic slices — the op classes the relay
+    toolchain's Mosaic has always compiled.
+
+    mm_ref/eq_ref: (D*NW, 8, 128) int32 — diagonal-major packed words;
+    bit j of word (dd*NW + w) is position i = 32w + j on diagonal
+    dd - k.  mm bit = 1 where the SNP-aware match FAILS (pat one-hot &
+    text nibble == 0; position L and beyond forced 1).  eq bit = the
+    seed-cell equality guard pat == text (LandauVishkin.c:79).
+    out: (8, 128) int32 distances (BIG when > k)."""
+    D = 2 * k + 1
+    shape = (8, LANES)
+    SENT = jnp.int32(L + 127)        # > any valid position
+
+    def run_from(dd, r):
+        """First i >= r with a mismatch on diagonal dd; r in [0, L].
+        Always <= L (bit L is forced mismatch)."""
+        first = jnp.full(shape, SENT, jnp.int32)
+        for w in range(NW):
+            mm = mm_ref[dd * NW + w, :, :]
+            sh = jnp.clip(r - 32 * w, 0, 31)
+            mask = jnp.where(r - 32 * w >= 32, 0, jnp.int32(-1) << sh)
+            m = mm & mask
+            iso = m & (-m)                    # lowest set bit, 2's compl
+            f32 = iso.astype(jnp.float32)     # exact for any single bit
+            expo = (jax.lax.bitcast_convert_type(f32, jnp.int32) >> 23) & 0xFF
+            idx = 32 * w + (expo - 127)
+            first = jnp.minimum(first, jnp.where(m != 0, idx, SENT))
+        return first
+
+    def eq_at(dd, r):
+        word = jnp.zeros(shape, jnp.int32)
+        wi = r >> 5
+        for w in range(NW):
+            word = jnp.where(wi == w, eq_ref[dd * NW + w, :, :], word)
+        return (word >> (r & 31)) & 1
+
+    zero = jnp.zeros(shape, jnp.int32)
+    run0 = jnp.minimum(run_from(k, zero), L)
+    result = jnp.where(run0 >= L, 0, BIG)
+
+    NEGR = jnp.full(shape, NEG, jnp.int32)
+    Lrow = [NEGR for _ in range(D)]
+    Lrow[k] = run0
+
+    for e in range(1, k + 1):
+        newLrow = list(Lrow)
+        hit_any = jnp.zeros(shape, bool)
+        for dd in range(k - e, k + e + 1):
+            d = dd - k
+            up = Lrow[dd] + 1
+            left = Lrow[dd - 1] if dd - 1 >= 0 else NEGR
+            right = (Lrow[dd + 1] + 1) if dd + 1 < D else NEGR
+            best = jnp.maximum(jnp.maximum(up, left), right)
+            bestc = jnp.clip(best, 0, L)
+            can_ext = (eq_at(dd, bestc) == 1) & (best >= 0)
+            endl_d = min(L, TL - d)
+            run = jnp.minimum(run_from(dd, bestc), endl_d)
+            reach = jnp.where(can_ext, run, best)
+            newLrow[dd] = reach
+            hit_any = hit_any | (reach >= L)
+        Lrow = newLrow
+        result = jnp.where(hit_any & (result == BIG), e, result)
+
+    out_ref[...] = result
+
+
+def _pack_v3(text: jnp.ndarray, pat: jnp.ndarray, k: int, L: int):
+    """XLA-side bit packing for the v3 kernel.  text (N, TL) uint8
+    nibbles, pat (N, L) uint8 one-hot.  Returns (mm, eq) as
+    (D*NW, 8, T*128) int32 word planes in the kernel's candidate
+    layout (candidate c -> tile c//1024, sublane (c//128)%8, lane
+    c%128), plus (T, NW)."""
+    N, TL = text.shape
+    D = 2 * k + 1
+    NW = (L + 1 + 31) // 32
+    T = max((N + 1023) // 1024, 1)
+    NPAD = T * 1024 - N
+
+    # padded text identical to the v1 host-side layout: k leading
+    # copies of column 0 (the jnp reference clips i+d at 0) and k+1
+    # trailing zeros
+    text_pad = jnp.concatenate(
+        [jnp.broadcast_to(text[:, :1], (N, k)), text,
+         jnp.zeros((N, k + 1), jnp.uint8)], axis=1)       # (N, TL+2k+1)
+    pat1 = jnp.concatenate(
+        [pat, jnp.zeros((N, NW * 32 - L), jnp.uint8)], axis=1)
+
+    # sliding diagonal windows: twin[n, dd, i] = text_pad[n, dd + i]
+    # for i in [0, NW*32)
+    i_idx = jnp.arange(NW * 32)
+    d_idx = jnp.arange(D)
+    gidx = jnp.minimum(d_idx[:, None] + i_idx[None, :], TL + 2 * k)
+    twin = text_pad[:, gidx]                              # (N, D, NW*32)
+    patb = pat1[:, None, :]                               # (N, 1, NW*32)
+    valid = (i_idx <= L - 1)[None, None, :]
+    mm = ~(((patb & twin) != 0) & valid)                  # mismatch bits
+    eqb = (patb == twin) & (i_idx <= L)[None, None, :]
+
+    w = (jnp.int32(1) << (i_idx % 32).astype(jnp.int32))
+    def pack(bits):
+        v = jnp.where(bits, w[None, None, :], 0)
+        return jnp.sum(v.reshape(N, D, NW, 32), axis=-1, dtype=jnp.int32)
+    mmw = pack(mm)
+    eqw = pack(eqb)
+
+    def relay(a):   # (N, D, NW) -> (D*NW, 8, T*128)
+        a = jnp.concatenate(
+            [a, jnp.zeros((NPAD, D, NW), jnp.int32)], axis=0)
+        a = a.reshape(T, 8, 128, D * NW)
+        return a.transpose(3, 1, 0, 2).reshape(D * NW, 8, T * 128)
+
+    return relay(mmw), relay(eqw), T, NW
+
+
 @partial(jax.jit, static_argnames=("k", "interpret", "text_words",
                                    "variant"))
 def lv_distance_batch_pallas(
@@ -205,6 +340,34 @@ def lv_distance_batch_pallas(
         text = mixref[tidx]                              # (N, TL)
     pat = jnp.asarray(NT2BIT_NP)[jnp.clip(seq, 0, 4)]    # (N, L)
 
+    import os as _os
+
+    if variant is None:
+        variant = _os.environ.get("SALT_TPU_LV_KERNEL", "v1")
+
+    if variant == "v3":
+        mmw, eqw, T, NW = _pack_v3(text, pat, k, L)
+        D = 2 * k + 1
+        out = pl.pallas_call(
+            partial(_lv_tile_kernel_v3, k=k, L=L, TL=TL, NW=NW),
+            out_shape=jax.ShapeDtypeStruct((8, T * LANES), jnp.int32),
+            grid_spec=pl.GridSpec(
+                grid=(T,),
+                in_specs=[
+                    pl.BlockSpec((D * NW, 8, LANES), lambda i: (0, 0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((D * NW, 8, LANES), lambda i: (0, 0, i),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((8, LANES), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM),
+            ),
+            interpret=interpret,
+        )(mmw, eqw)
+        # out[s, t*128 + l] is candidate t*1024 + s*128 + l
+        res = out.reshape(8, T, LANES).transpose(1, 0, 2).reshape(-1)[:N]
+        return jnp.where(active, res, BIG)
+
     # transpose to (positions, candidates); pad candidate axis to LANES.
     # Position padding: k rows of text[0] on top (the jnp version clips
     # negative i+d to index 0) and k+1 zero rows at the bottom.
@@ -220,10 +383,6 @@ def lv_distance_batch_pallas(
     text_t = jnp.pad(text_t, ((0, 0), (0, padN)))        # (TL+2k+1, NP)
     pat_t = jnp.pad(pat.T.astype(jnp.uint8), ((0, 1), (0, padN)))
 
-    import os as _os
-
-    if variant is None:
-        variant = _os.environ.get("SALT_TPU_LV_KERNEL", "v1")
     kernel = _lv_tile_kernel_v2 if variant == "v2" else _lv_tile_kernel
 
     TLP = TL + 2 * k + 1

@@ -36,6 +36,46 @@ def test_pallas_matches_jnp(k):
     assert (a == b).all()
 
 
+@pytest.mark.parametrize("k", [0, 3, 10])
+@pytest.mark.parametrize("n", [100, 1500])
+def test_v3_variant_matches_jnp(k, n):
+    """The multi-candidate-per-sublane bit-packed kernel (v3) is
+    distance-identical to the jnp reference, including SNP nibbles,
+    the seed-cell equality guard, inactive lanes, k=0, and tile
+    padding (n not a multiple of 1024)."""
+    rng = np.random.default_rng(23 + k)
+    N, L = n, 100
+    mlen = 6000
+    mix = (1 << rng.integers(0, 4, mlen)).astype(np.uint8)
+    snp = rng.random(mlen) < 0.05
+    mix[snp] |= (1 << rng.integers(0, 4, snp.sum())).astype(np.uint8)
+    pos = rng.integers(0, mlen - 130, N).astype(np.int32)
+    seq = rng.integers(0, 4, (N, L)).astype(np.int32)
+    for i in range(0, N, 2):  # plant half with few errors (subs + indels)
+        window = mix[pos[i] : pos[i] + L + 8]
+        bases = np.array([(int(v) & -int(v)).bit_length() - 1 for v in window])
+        r = list(bases[:L])
+        for _ in range(int(rng.integers(0, min(k, 4) + 1))):
+            j = int(rng.integers(0, len(r) - 1))
+            op = rng.integers(0, 3)
+            if op == 0:
+                r[j] = (r[j] + 1) % 4
+            elif op == 1:
+                del r[j]
+            else:
+                r.insert(j, int(rng.integers(0, 4)))
+        r = (r + list(bases[len(r):]))[:L]
+        seq[i] = r
+    active = rng.random(N) < 0.9
+    a = np.asarray(lv_distance_batch(
+        jnp.asarray(mix), jnp.asarray(pos), jnp.asarray(active),
+        jnp.asarray(seq), k))
+    b = np.asarray(lv_distance_batch_pallas(
+        jnp.asarray(mix), jnp.asarray(pos), jnp.asarray(active),
+        jnp.asarray(seq), k, interpret=True, variant="v3"))
+    assert (a == b).all(), np.nonzero(a != b)
+
+
 def test_v2_variant_matches_v1():
     """The reduction-lean kernel (SALT_TPU_LV_KERNEL=v2) is
     distance-identical to the default formulation."""
