@@ -325,17 +325,32 @@ def lv_distance_batch_pallas(
     padN = NP_ - N
 
     base = jnp.where(active, pos, 0)
-    # positions may exceed 2^31 (whole-genome mixRef): do the word
-    # shift/mask through uint32, word index fits int32 again
-    tidx = (base[:, None].astype(jnp.uint32)
-            + jnp.arange(TL, dtype=jnp.uint32))
     if text_words:
-        widx = jnp.clip((tidx >> 3).astype(jnp.int32), 0,
-                        mixref.shape[0] - 1)
-        w = mixref[widx].astype(jnp.uint32)
-        text = ((w >> ((tidx & 7) * 4)) & 15).astype(
-            jnp.uint8)
+        # positions may exceed 2^31 (whole-genome mixRef): do the word
+        # shift/mask through uint32, word index fits int32 again.
+        # Gather word-aligned: ~TL/8+2 words per candidate instead of
+        # one word PER NIBBLE — TPU gathers cost ~cycles per element,
+        # and the per-nibble form (N*TL elements) dominated the whole
+        # kernel call (measured: v1/v3, k=3/k=10 all identical at
+        # 7.8ms/8192 cands — the DP was never the bound, the feed was).
+        bu = base.astype(jnp.uint32)
+        w0 = (bu >> 3).astype(jnp.int32)
+        off = (bu & 7).astype(jnp.int32)                 # (N,)
+        NWIN = (TL + 14) // 8
+        widx = jnp.clip(w0[:, None] + jnp.arange(NWIN, dtype=jnp.int32),
+                        0, mixref.shape[0] - 1)
+        w = mixref[widx].astype(jnp.uint32)              # (N, NWIN)
+        sh = jnp.arange(8, dtype=jnp.uint32) * 4
+        nib = ((w[:, :, None] >> sh) & 15).reshape(N, NWIN * 8)
+        text = jax.lax.slice_in_dim(nib, 0, TL, axis=1)
+        for s in range(1, 8):                            # per-lane align
+            text = jnp.where(
+                off[:, None] == s,
+                jax.lax.slice_in_dim(nib, s, s + TL, axis=1), text)
+        text = text.astype(jnp.uint8)
     else:
+        tidx = (base[:, None].astype(jnp.uint32)
+                + jnp.arange(TL, dtype=jnp.uint32))
         tidx = jnp.clip(tidx.astype(jnp.int32), 0, mixref.shape[0] - 1)
         text = mixref[tidx]                              # (N, TL)
     pat = jnp.asarray(NT2BIT_NP)[jnp.clip(seq, 0, 4)]    # (N, L)

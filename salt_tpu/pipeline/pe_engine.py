@@ -385,6 +385,147 @@ class PEAligner:
             ))
         return self._finalize_states(states)
 
+    def _fill_states_fast(self, states, rows, p0, P, names, quals,
+                          codes_list, rcodes_list, n_amb, n, res):
+        """Vectorized _make_state for pairs whose ends both come from
+        plain `res` rows (no gapped/full-width overlay — the vast
+        majority).  Semantics identical to the per-pair path:
+        query_set_hits (query.c:297-333) and the pairing2 fast stage
+        (primary insert check + hit-list cross product, alnpe.c:94-203)
+        are computed as numpy array ops over the whole chunk; only
+        pairs that need SW rescue fall back to per-pair request
+        assembly."""
+        o = self.opts
+        K = res["hits_pos"].shape[2]
+        H = o.max_hits
+        idx0 = np.asarray(rows, dtype=np.int64)
+        M = len(rows)
+        rows2 = np.concatenate([idx0, P + idx0])          # ends stacked
+        amb = np.concatenate([n_amb[p0 + idx0], n_amb[n + p0 + idx0]])
+        found = res["found"][rows2] & (amb <= PE_MAX_N_AMBIGUOUS)
+        pos = res["pos"][rows2].astype(np.int64)
+        strand = res["strand"][rows2].astype(np.int64)
+        nd = res["n_diff"][rows2].astype(np.int64)
+        nh = res["n_hits"][rows2]
+        a0 = res["first_hit_ndiff"][rows2].astype(np.int64)   # (2M, 2)
+        hp = res["hits_pos"][rows2].astype(np.int64)          # (2M, 2, K)
+        hnd = res["hits_ndiff"][rows2].astype(np.int64)
+
+        # --- vectorized query_set_hits ---
+        j = np.arange(K)
+        valid = j[None, None, :] < np.minimum(nh, K)[:, :, None]
+        elig = (valid & (hp != pos[:, None, None])
+                & (a0 <= nd[:, None])[:, :, None])
+        cum = np.cumsum(elig.reshape(2 * M, 2 * K), axis=1)
+        appended = (elig.reshape(2 * M, 2 * K) & (cum <= H)).reshape(
+            2 * M, 2, K) & found[:, None, None]
+        contrib = appended.any(axis=2)                        # (2M, 2)
+        b1 = np.where(contrib, a0, 100000).min(axis=1)
+        mapq = np.where(
+            nd == 0, 0,
+            np.minimum((255.0 * np.abs(nd - b1)
+                        / np.maximum(nd, 1)).astype(np.int64), 254))
+
+        # --- vectorized pairing2 fast stage (both-mapped pairs) ---
+        L0 = np.array([len(codes_list[p0 + i]) for i in idx0], np.int64)
+        L1 = np.array([len(codes_list[n + p0 + i]) for i in idx0], np.int64)
+        l2 = L0 + L1
+        min_is = np.where(o.min_tlen > l2, o.min_tlen - l2, 0)
+        max_is = np.where(o.max_tlen > l2, o.max_tlen - l2, 0)
+
+        def in_range(a, b, mn, mx):
+            # CHECK_IN_RANGE (alnpe.c:76-81), uint32 semantics
+            a = a & 0xFFFFFFFF
+            b = b & 0xFFFFFFFF
+            r = np.abs(b - a)
+            neg = (a > b) | (r < mn)
+            return np.where(neg, -1, np.where(r > mx, 1, 0))
+
+        p0e, p1e = pos[:M], pos[M:]
+        s0e, s1e = strand[:M], strand[M:]
+        both = found[:M] & found[M:]
+        prim_a = (both & (s0e == 0) & (s1e == 1) & (p0e < p1e)
+                  & (in_range(p0e + L0, p1e, min_is, max_is) == 0))
+        prim_b = (both & ~prim_a & (s1e == 0) & (s0e == 1) & (p1e < p0e)
+                  & (in_range(p1e + L1, p0e, min_is, max_is) == 0))
+        prim = prim_a | prim_b
+
+        # cross product over appended hit lists, both orders.  order 0:
+        # end0 strand-0 list x end1 strand-1 list; order 1: end1
+        # strand-0 x end0 strand-1.  First minimal (nd0+nd1) in
+        # (order, j0, j1) iteration order wins (strict < replacement).
+        fl_pos = np.stack([hp[:M, 0], hp[M:, 0]])             # (2, M, K)
+        fl_nd = np.stack([hnd[:M, 0], hnd[M:, 0]])
+        fl_ok = np.stack([appended[:M, 0], appended[M:, 0]])
+        fl_len = np.stack([L0, L1])                           # (2, M)
+        bl_pos = np.stack([hp[M:, 1], hp[:M, 1]])
+        bl_nd = np.stack([hnd[M:, 1], hnd[:M, 1]])
+        bl_ok = np.stack([appended[M:, 1], appended[:M, 1]])
+        rr = in_range(
+            fl_pos[:, :, :, None] + fl_len[:, :, None, None],
+            bl_pos[:, :, None, :],
+            min_is[None, :, None, None], max_is[None, :, None, None])
+        ok = (rr == 0) & fl_ok[:, :, :, None] & bl_ok[:, :, None, :]
+        tot = fl_nd[:, :, :, None] + bl_nd[:, :, None, :]
+        lin = (np.arange(2)[:, None, None, None] * K * K
+               + j[None, None, :, None] * K + j[None, None, None, :])
+        key = np.where(ok, tot * (2 * K * K) + lin, np.int64(1) << 60)
+        kf = key.transpose(1, 0, 2, 3).reshape(M, -1)
+        best_flat = kf.argmin(axis=1)
+        has_best = both & ~prim & (np.take_along_axis(
+            kf, best_flat[:, None], axis=1)[:, 0] < (np.int64(1) << 60))
+        b_ord = best_flat // (K * K)
+        b_j0 = (best_flat // K) % K
+        b_j1 = best_flat % K
+
+        # --- materialize states ---
+        UINT = UINT32_MAX
+        app_r, app_s, app_j = np.nonzero(appended)
+        hit_lists = [([], []) for _ in range(2 * M)]
+        for r_, s_, j_ in zip(app_r.tolist(), app_s.tolist(), app_j.tolist()):
+            hit_lists[r_][s_].append((int(hp[r_, s_, j_]),
+                                      int(hnd[r_, s_, j_]), 0))
+        pos_l = pos.tolist()
+        for m, i in enumerate(idx0.tolist()):
+            pi = p0 + i
+            e0 = _End(names[pi], codes_list[pi], rcodes_list[pi], quals[pi])
+            e1 = _End(names[n + pi], codes_list[n + pi],
+                      rcodes_list[n + pi], quals[n + pi])
+            for em, r_ in ((e0, m), (e1, M + m)):
+                if not found[r_]:
+                    continue
+                em.pos = pos_l[r_]
+                em.strand = int(strand[r_])
+                em.n_diff = int(nd[r_])
+                em.is_gap = 0
+                em.b0 = em.n_diff
+                em.b1 = int(b1[r_])
+                em.mapq = int(mapq[r_])
+                em.hits = hit_lists[r_]
+            if prim[m]:
+                self._gen_cigar(e0)
+                self._gen_cigar(e1)
+                states[i] = (e0, e1, "done", None)
+            elif has_best[m]:
+                od, j0_, j1_ = int(b_ord[m]), int(b_j0[m]), int(b_j1[m])
+                fwd, bwd = (e0, e1) if od == 0 else (e1, e0)
+                fr = m if od == 0 else M + m
+                br = M + m if od == 0 else m
+                fwd.pos = int(hp[fr, 0, j0_]); fwd.strand = 0
+                fwd.n_diff = int(hnd[fr, 0, j0_]); fwd.is_gap = 0
+                bwd.pos = int(hp[br, 1, j1_]); bwd.strand = 1
+                bwd.n_diff = int(hnd[br, 1, j1_]); bwd.is_gap = 0
+                self._gen_cigar(e0)
+                self._gen_cigar(e1)
+                states[i] = (e0, e1, "done", None)
+            elif both[m]:
+                states[i] = (e0, e1, "pair2", self._pairing2_requests(e0, e1))
+            elif e0.pos != UINT or e1.pos != UINT:
+                states[i] = (e0, e1, "single",
+                             self._singleton_requests(e0, e1))
+            else:
+                states[i] = (e0, e1, "none", None)
+
     def _make_state(self, name0, name1, qual0, qual1, c0, rc0, c1, rc1,
                     amb0, amb1, res0, res1):
         """Per-pair state: SE results -> _End pair + pairing mode/requests
@@ -512,16 +653,27 @@ class PEAligner:
                     return (full_res[i], False)
                 return ({k: v[i] for k, v in res.items()}, False)
 
-            states = []
+            def plain(i):
+                return not (needs_gap[i] and i in gap_res) and i not in full_res
+
+            states = [None] * cnt
+            fast_rows = []
             for i in range(cnt):
                 pi = p0 + i
-                states.append(self._make_state(
-                    names[pi], names[n + pi], quals[pi], quals[n + pi],
-                    codes_list[pi], rcodes_list[pi],
-                    codes_list[n + pi], rcodes_list[n + pi],
-                    n_amb[pi], n_amb[n + pi],
-                    get(i), get(P + i),
-                ))
+                if plain(i) and plain(P + i):
+                    fast_rows.append(i)
+                else:
+                    states[i] = self._make_state(
+                        names[pi], names[n + pi], quals[pi], quals[n + pi],
+                        codes_list[pi], rcodes_list[pi],
+                        codes_list[n + pi], rcodes_list[n + pi],
+                        n_amb[pi], n_amb[n + pi],
+                        get(i), get(P + i),
+                    )
+            if fast_rows:
+                self._fill_states_fast(states, fast_rows, p0, P, names,
+                                       quals, codes_list, rcodes_list,
+                                       n_amb, n, res)
             out.extend(self._finalize_states(states))
         return out
 
