@@ -150,6 +150,43 @@ def gen_mapq(b0: int, b1: int) -> int:
     return mapq if mapq < 254 else 254
 
 
+def set_hits_batch(primary_pos, n_diff, n_hits, first_hit_ndiff, hits_pos,
+                   hits_ndiff, max_hits):
+    """Vectorized query_set_hits (query.c:297-333) over a batch of
+    reads: primary_pos (M,), n_diff (M,), n_hits (M,2),
+    first_hit_ndiff (M,2), hits_pos (M,2,K), hits_ndiff (M,2,K).
+    Returns (b1 (M,), appended (M,2,K) bool) where `appended` marks the
+    XA entries the sequential reference loop records (strand-0 entries
+    first, j order, pos != primary, a[0]-n_diff filter, max_hits cap
+    with the early return) and b1 is min(a0) over strands that
+    contributed at least one entry (100000 otherwise)."""
+    M, S, K = hits_pos.shape
+    pp = np.asarray(primary_pos, dtype=np.int64)
+    nd = np.asarray(n_diff, dtype=np.int64)
+    a0 = np.asarray(first_hit_ndiff, dtype=np.int64)
+    hp = np.asarray(hits_pos, dtype=np.int64)
+    j = np.arange(K)
+    valid = j[None, None, :] < np.minimum(n_hits, K)[:, :, None]
+    elig = (valid & (hp != pp[:, None, None])
+            & (a0 <= nd[:, None])[:, :, None])
+    cum = np.cumsum(elig.reshape(M, 2 * K), axis=1)
+    appended = (elig.reshape(M, 2 * K)
+                & (cum <= max_hits)).reshape(M, 2, K)
+    contrib = appended.any(axis=2)
+    b1 = np.where(contrib, a0, 100000).min(axis=1)
+    return b1, appended
+
+
+def gen_mapq_batch(b0, b1):
+    """Vectorized gen_mapq (query.c:270-281)."""
+    b0 = np.asarray(b0, dtype=np.int64)
+    b1 = np.asarray(b1, dtype=np.int64)
+    return np.where(
+        b0 == 0, 0,
+        np.minimum((255.0 * np.abs(b0 - b1)
+                    / np.maximum(b0, 1)).astype(np.int64), 254))
+
+
 def set_hits(
     primary_pos: int,
     primary_ndiff: int,
@@ -525,6 +562,7 @@ class SEAligner:
     def _finalize_read(
         self, name, seq, rseq, qual, found, pos, strand, n_diff, is_gap,
         n_hits, first_hit_ndiff, hits_pos, hits_ndiff, md_tag=None,
+        pre_hits=None,
     ) -> str:
         o = self.opts
         idx = self.index
@@ -532,10 +570,13 @@ class SEAligner:
         if not found:
             return emit_se(idx, name, seq, rseq, qual, UINT32_MAX, 3, 0, "", "",
                            o.print_nm_md, o.rg_id)
-        b1, xa_entries = set_hits(
-            pos, n_diff, n_hits, first_hit_ndiff, hits_pos, hits_ndiff,
-            o.max_hits,
-        )
+        if pre_hits is not None:
+            b1, xa_entries = pre_hits
+        else:
+            b1, xa_entries = set_hits(
+                pos, n_diff, n_hits, first_hit_ndiff, hits_pos, hits_ndiff,
+                o.max_hits,
+            )
         mapq = gen_mapq(n_diff, b1)
         # primary cigar (query_gen_cigar, query.c:282-296)
         if is_gap:
@@ -643,6 +684,33 @@ class SEAligner:
                         plain, md_nm_tags_batch(self.index, pos_a, rd)
                     ):
                         md_tags[i] = tag
+            # batched query_set_hits for the plain-path found rows (the
+            # overwhelming majority): one numpy pass instead of a
+            # per-read Python double loop over the hit lists
+            plain_rows = np.array([
+                i for i in range(nb)
+                if n_amb[start + i] <= SE_MAX_N_AMBIGUOUS
+                and not (needs_gap[i] and i in gap_res)
+                and i not in full_res and bool(res["found"][i])
+            ], dtype=np.int64)
+            pre_map = {}
+            if len(plain_rows):
+                b1v, appv = set_hits_batch(
+                    res["pos"][plain_rows], res["n_diff"][plain_rows],
+                    res["n_hits"][plain_rows],
+                    res["first_hit_ndiff"][plain_rows],
+                    res["hits_pos"][plain_rows],
+                    res["hits_ndiff"][plain_rows], o.max_hits,
+                )
+                hpv = res["hits_pos"][plain_rows]
+                hnv = res["hits_ndiff"][plain_rows]
+                any_xa = appv.any(axis=(1, 2))
+                xa_map = {m: [] for m in np.nonzero(any_xa)[0]}
+                for m, s, jj in zip(*(a.tolist() for a in np.nonzero(appv))):
+                    xa_map[m].append((s, int(hpv[m, s, jj]),
+                                      int(hnv[m, s, jj])))
+                for m, i in enumerate(plain_rows.tolist()):
+                    pre_map[i] = (int(b1v[m]), xa_map.get(m, []))
             for i in range(nb):
                 gi = start + i
                 if n_amb[gi] > SE_MAX_N_AMBIGUOUS:
@@ -667,7 +735,7 @@ class SEAligner:
                     bool(r["found"]), int(r["pos"]), int(r["strand"]),
                     int(r["n_diff"]), is_gap, r["n_hits"],
                     r["first_hit_ndiff"], r["hits_pos"], r["hits_ndiff"],
-                    md_tag=md_tags.get(i),
+                    md_tag=md_tags.get(i), pre_hits=pre_map.get(i),
                 )
             _fin.__exit__(None, None, None)
         return out_records

@@ -412,19 +412,12 @@ class PEAligner:
         hnd = res["hits_ndiff"][rows2].astype(np.int64)
 
         # --- vectorized query_set_hits ---
+        from .engine import gen_mapq_batch, set_hits_batch
+
         j = np.arange(K)
-        valid = j[None, None, :] < np.minimum(nh, K)[:, :, None]
-        elig = (valid & (hp != pos[:, None, None])
-                & (a0 <= nd[:, None])[:, :, None])
-        cum = np.cumsum(elig.reshape(2 * M, 2 * K), axis=1)
-        appended = (elig.reshape(2 * M, 2 * K) & (cum <= H)).reshape(
-            2 * M, 2, K) & found[:, None, None]
-        contrib = appended.any(axis=2)                        # (2M, 2)
-        b1 = np.where(contrib, a0, 100000).min(axis=1)
-        mapq = np.where(
-            nd == 0, 0,
-            np.minimum((255.0 * np.abs(nd - b1)
-                        / np.maximum(nd, 1)).astype(np.int64), 254))
+        b1, appended = set_hits_batch(pos, nd, nh, a0, hp, hnd, H)
+        appended = appended & found[:, None, None]
+        mapq = gen_mapq_batch(nd, b1)
 
         # --- vectorized pairing2 fast stage (both-mapped pairs) ---
         L0 = np.array([len(codes_list[p0 + i]) for i in idx0], np.int64)
