@@ -56,19 +56,58 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("n_pairs", nargs="?", type=int, default=20000)
     ap.add_argument("--genome", default=DEFAULT_GENOME)
+    ap.add_argument("--genome-synth", type=int, default=0, metavar="BASES",
+                    help="synthesize a genome of this many bases into the "
+                         "workdir and use it (chr21-scale accuracy runs: "
+                         "--genome-synth 45000000)")
+    ap.add_argument("--genome-config", choices=["uniform", "repeat"],
+                    default="repeat",
+                    help="synthetic genome composition: 'repeat' plants "
+                         "SINE/LINE families, satellite tandem arrays, "
+                         "segmental duplications and N runs "
+                         "(salt_tpu.sim.genome_gen)")
+    ap.add_argument("--n-contigs", type=int, default=1)
+    ap.add_argument("--err-rate", type=float, default=0.0,
+                    help="wgsim per-base sequencing error rate")
+    ap.add_argument("--indel-frac", type=float, default=0.0,
+                    help="wgsim fraction of mutations that are indels")
+    ap.add_argument("--sa-mode", choices=["full", "sampled"], default="full")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="override aligner batch size")
     ap.add_argument("--workdir", default="/tmp/salt_tpu_accuracy")
     ap.add_argument("--seed-len", type=int, default=19)
     ap.add_argument("--se-only", action="store_true")
-    ap.add_argument("--max-err", type=float, default=0.0,
-                    help="fail if total error rate exceeds this")
+    ap.add_argument("--max-err", type=float, default=None,
+                    help="fail if total error rate exceeds this (default: "
+                         "0 for error-free sims, report-only otherwise)")
     ap.add_argument("--sim", choices=["vendored", "internal"],
                     default="vendored",
                     help="internal: salt_tpu.sim.wgsim (no reference tree "
                          "or C toolchain needed)")
     args = ap.parse_args()
+    if args.max_err is None:
+        args.max_err = 0.0 if (args.err_rate == 0 and args.indel_frac == 0
+                               and args.genome_config == "uniform"
+                               and not args.genome_synth) else 1.0
 
     os.makedirs(args.workdir, exist_ok=True)
     wd = args.workdir
+    if args.genome_synth:
+        args.sim = "internal"
+        gfa = (f"{wd}/genome_{args.genome_config}_"
+               f"{args.genome_synth}.fa")
+        if not os.path.exists(gfa):
+            from salt_tpu.sim.genome_gen import (synthesize_genome,
+                                                 write_fasta)
+
+            t0 = time.time()
+            contigs = synthesize_genome(args.genome_synth, args.n_contigs,
+                                        config=args.genome_config)
+            write_fasta(contigs, gfa)
+            print(f"[harness] {args.genome_synth/1e6:.0f}MB "
+                  f"{args.genome_config} genome synthesized in "
+                  f"{time.time()-t0:.1f}s", flush=True)
+        args.genome = gfa
     r1, r2 = f"{wd}/R1.fq", f"{wd}/R2.fq"
     mut = f"{wd}/mutations.txt"
     if not os.path.exists(r1):
@@ -78,7 +117,8 @@ def main():
             with open(r1, "w") as f1, open(r2, "w") as f2, \
                     open(mut, "w") as m:
                 simulate(args.genome, f1, f2, SimParams(
-                    err_rate=0.0, mut_rate=0.05, indel_frac=0.0,
+                    err_rate=args.err_rate, mut_rate=0.05,
+                    indel_frac=args.indel_frac,
                     dist=500, std_dev=50, n_pairs=args.n_pairs,
                     size_l=100, size_r=100, is_hap=True, seed=42,
                 ), mut_out=m)
@@ -106,8 +146,14 @@ def main():
     recs1 = list(read_records(r1))
 
     # ---- SE (run_se_test.sh args: -d -r 1 -l 100 -n 20 -c -m 500) ----
+    extra = {}
+    if args.sa_mode == "sampled":
+        extra["sa_mode"] = "sampled"
+    if args.batch:
+        extra["batch_size"] = args.batch
     al = SEAligner(idx, SEOptions(
         l_overlap=1, max_locate=500, print_nm_md=True, print_xa_cigar=True,
+        **extra,
     ))
     t0 = time.time()
     out = al.align_records(recs1)
@@ -122,9 +168,11 @@ def main():
         from salt_tpu.pipeline.pe_engine import PEAligner, PEOptions
 
         recs2 = list(read_records(r2))
+        if args.sa_mode == "sampled":
+            del al  # PE builds its own device index; avoid double residency
         pal = PEAligner(idx, PEOptions(
             l_overlap=5, max_locate=1000, min_tlen=350, max_tlen=650,
-            print_nm_md=True, print_xa_cigar=True,
+            print_nm_md=True, print_xa_cigar=True, **extra,
         ))
         t0 = time.time()
         out = pal.align_pairs(recs1, recs2)
