@@ -45,6 +45,12 @@ def _emit(rate, aborted=False):
         # secondary metric rides along (the driver's contract is the
         # SE line; extra keys are informational)
         rec["pe_pairs_per_sec"] = round(_BEST["pe"], 1)
+    if _BEST.get("scale") is not None:
+        # chr21-scale SNP-aware measurement on a REPEAT-RICH synthetic
+        # genome (salt_tpu.sim.genome_gen: SINE/LINE families,
+        # satellite arrays, segdups, N runs) — the honest at-scale
+        # number, measured budget permitting
+        rec["scale45mb_repeat_se_reads_per_sec"] = round(_BEST["scale"], 1)
     if aborted:
         # mark partial/failed runs so the driver's parsed JSON can tell
         # a best-so-far emission from a clean measurement
@@ -191,6 +197,59 @@ def run_pe(contigs, blocks, idx):
     return n / dt
 
 
+def run_scale(genome_mb=45):
+    """chr21-scale SNP-aware SE throughput on a repeat-rich synthetic
+    genome (the at-scale rider; VERDICT r4 task 4).  Deterministic
+    seeds keep the XLA cache warm across runs."""
+    from salt_tpu.index.build import build_index_from_data
+    from salt_tpu.io.fasta import SeqRecord
+    from salt_tpu.io.snp import SnpBlock
+    from salt_tpu.pipeline.engine import SEAligner, SEOptions
+    from salt_tpu.sim.genome_gen import synthesize_genome
+
+    glen = genome_mb * 1_000_000
+    rng = np.random.default_rng(77)
+    lut = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    (name, codes), = synthesize_genome(glen, 1, seed=7, config="repeat")
+    n_snp = glen // 300
+    ok = codes < 4
+    gpos = np.sort(rng.choice(np.nonzero(ok)[0], size=n_snp, replace=False))
+    ref_codes = codes[gpos].astype(np.int64)
+    alt = ((ref_codes + rng.integers(1, 4, n_snp)) % 4).astype(np.uint8)
+    stype = ((1 << ref_codes) | (1 << alt) | (ref_codes << 4)).astype(np.uint8)
+    contig_data = [(name, "synthetic", lut[codes])]
+    blocks = [SnpBlock(name, gpos.astype(np.uint32), stype)]
+    t0 = time.time()
+    idx = build_index_from_data(contig_data, blocks, l_seed=19)
+    sys.stderr.write(f"[bench] scale index ({genome_mb}MB repeat) built "
+                     f"in {time.time()-t0:.0f}s\n")
+    hap = codes.copy()
+    hap[gpos] = alt
+    n_reads = 2 * BATCH
+    reads = []
+    starts = rng.integers(0, glen - READ_LEN, n_reads + BATCH)
+    for s in starts:
+        r = hap[s : s + READ_LEN].copy()
+        err = rng.random(READ_LEN) < 0.001
+        r[err] = rng.integers(0, 4, int(err.sum()))
+        reads.append(lut[np.minimum(r, 4)].tobytes().decode("latin1"))
+    recs = [SeqRecord(name=f"s{i}", comment=None, seq=s, qual="I" * READ_LEN)
+            for i, s in enumerate(reads)]
+    al = SEAligner(idx, SEOptions(
+        l_overlap=1, max_locate=500, print_nm_md=True, print_xa_cigar=True,
+        batch_size=BATCH, gap_batch=128))
+    al.align_records(recs[:BATCH])  # warmup/compile/residency
+    sys.stderr.write(f"[bench] scale warmup done at t+{time.time()-_T0:.0f}s\n")
+    t0 = time.time()
+    out = al.align_records(recs[BATCH:])
+    dt = time.time() - t0
+    rate = len(out) / dt
+    mapped = sum(1 for l in out if l and l.split("\t")[2] != "*")
+    sys.stderr.write(f"[bench] scale: {len(out)} reads in {dt:.2f}s = "
+                     f"{rate:.0f} reads/s ({mapped} mapped)\n")
+    return rate
+
+
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
     import jax
@@ -233,6 +292,14 @@ def main():
             sys.stderr.write(    # take down the SE contract
                 f"[bench] PE phase failed ({type(e).__name__}: {e}); "
                 f"emitting SE only\n")
+    if ("--no-scale" not in sys.argv
+            and _BUDGET - (time.time() - _T0) > 200):
+        try:
+            _BEST["scale"] = run_scale()
+        except Exception as e:  # scale rider: same policy as PE
+            sys.stderr.write(
+                f"[bench] scale phase failed ({type(e).__name__}: {e}); "
+                f"emitting without it\n")
     _finish(rate)
 
 

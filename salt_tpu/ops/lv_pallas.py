@@ -296,9 +296,33 @@ def _pack_v3(text: jnp.ndarray, pat: jnp.ndarray, k: int, L: int):
     return relay(mmw), relay(eqw), T, NW
 
 
+def lv_distance_batch_pallas(
+    mixref: jnp.ndarray,
+    pos: jnp.ndarray,
+    active: jnp.ndarray,
+    seq: jnp.ndarray,
+    k: int,
+    interpret: bool = False,
+    text_words: bool = False,
+    variant: str = None,
+):
+    """Drop-in equivalent of lv_distance_batch (distances, BIG=255 when
+    inactive/no alignment within k).  `variant` (default from
+    SALT_TPU_LV_KERNEL, "v1") selects the kernel formulation.  The env
+    var is resolved HERE, outside the jitted impl, so changing it
+    between calls is honored even for already-compiled shapes (advisor
+    r4 finding: a trace-time read bakes the first value in)."""
+    if variant is None:
+        import os as _os
+        variant = _os.environ.get("SALT_TPU_LV_KERNEL", "v1")
+    return _lv_distance_batch_pallas(
+        mixref, pos, active, seq, k, interpret=interpret,
+        text_words=text_words, variant=variant)
+
+
 @partial(jax.jit, static_argnames=("k", "interpret", "text_words",
                                    "variant"))
-def lv_distance_batch_pallas(
+def _lv_distance_batch_pallas(
     mixref: jnp.ndarray,   # uint8 [l_mref], or uint32 words (text_words)
     pos: jnp.ndarray,      # int32 (N,)
     active: jnp.ndarray,   # bool (N,)
@@ -306,12 +330,8 @@ def lv_distance_batch_pallas(
     k: int,
     interpret: bool = False,
     text_words: bool = False,
-    variant: str = None,
+    variant: str = "v1",
 ) -> jnp.ndarray:
-    """Drop-in equivalent of lv_distance_batch (distances, BIG=255 when
-    inactive/no alignment within k).  `variant` (default from
-    SALT_TPU_LV_KERNEL, "v1") selects the kernel formulation; "v2" is
-    the reduction-lean rewrite pending on-chip validation."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -337,6 +357,12 @@ def lv_distance_batch_pallas(
         w0 = (bu >> 3).astype(jnp.int32)
         off = (bu & 7).astype(jnp.int32)                 # (N,)
         NWIN = (TL + 14) // 8
+        # per-element word gather.  Probed alternatives on chip (r5):
+        # one word per NIBBLE = 7.8ms/8192 cands; this form = 2.6ms
+        # (XLA TPU gather costs ~18 cycles per gathered ELEMENT);
+        # contiguous NWIN-word slices via vmapped dynamic_slice = 11ms
+        # (per-slice-row overhead ~1300 cycles swamps the win).  The
+        # call is feed-bound: the DP kernel itself is <10% of it.
         widx = jnp.clip(w0[:, None] + jnp.arange(NWIN, dtype=jnp.int32),
                         0, mixref.shape[0] - 1)
         w = mixref[widx].astype(jnp.uint32)              # (N, NWIN)
@@ -354,11 +380,6 @@ def lv_distance_batch_pallas(
         tidx = jnp.clip(tidx.astype(jnp.int32), 0, mixref.shape[0] - 1)
         text = mixref[tidx]                              # (N, TL)
     pat = jnp.asarray(NT2BIT_NP)[jnp.clip(seq, 0, 4)]    # (N, L)
-
-    import os as _os
-
-    if variant is None:
-        variant = _os.environ.get("SALT_TPU_LV_KERNEL", "v1")
 
     if variant == "v3":
         mmw, eqw, T, NW = _pack_v3(text, pat, k, L)

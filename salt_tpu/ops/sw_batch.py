@@ -130,9 +130,13 @@ def sw_score_dispatch(refs, reads, lens, snp_mode: bool,
                   and not _PALLAS_SW_FAILED.get(snp_mode))
     if use_pallas:
         try:
-            return sw_score_batch_pallas(
+            out = sw_score_batch_pallas(
                 refs, reads, lens, snp_mode=snp_mode, gap_open=gap_open,
                 gap_extend=gap_extend)
+            # force execution INSIDE the try: dispatch is async, so a
+            # deferred device-side failure would otherwise surface at
+            # the caller's np.asarray, escaping this fallback
+            return jax.block_until_ready(out)
         except Exception as e:
             _PALLAS_SW_FAILED[snp_mode] = True
             sys.stderr.write(

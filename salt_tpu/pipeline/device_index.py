@@ -157,6 +157,14 @@ def build_sampled_sa(idx: SaltIndex, intv: int = 8) -> SampledSA:
     # rank coords (the sentinel suffix is rank 0)
     sharp_lo = int(idx.r_cumfreq[4]) + 1
     sharp_hi = int(idx.r_cumfreq[5]) + 1
+    if (idx.sharp_bases is not None
+            and sharp_hi - sharp_lo != len(idx.sharp_bases)):
+        # a legacy bundle of a SNP-bearing index saved with zeros(0)
+        # would otherwise load as "valid zero-SNP" and silently blank
+        # every R coordinate (advisor r4 finding)
+        raise ValueError(
+            f"inconsistent index bundle: {sharp_hi - sharp_lo} '#' ranks "
+            f"in the R BWT but {len(idx.sharp_bases)} sharp_bases entries")
     if idx.sharp_bases is None:
         raise ValueError("index missing sharp_bases; rebuild with current "
                          "version for sa_mode='sampled'")
