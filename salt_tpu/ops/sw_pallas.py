@@ -184,6 +184,15 @@ def sw_score_batch_pallas(
 
     B, W = refs.shape
     L = reads.shape[1]
+
+    import os as _os
+
+    _variant = _os.environ.get("SALT_TPU_SW_KERNEL", "wave")
+    if _variant == "wave" and L <= LANES:
+        return sw_score_batch_pallas_wave(
+            refs, reads, ref_len, snp_mode=snp_mode, gap_open=gap_open,
+            gap_extend=gap_extend, interpret=interpret)
+
     LP = ((L + 7) // 8) * 8
     WP = ((W + 7) // 8) * 8
     NB = ((B + LANES - 1) // LANES) * LANES
@@ -203,9 +212,7 @@ def sw_score_batch_pallas(
         jnp.pad(ref_len.astype(jnp.int32), (0, padB))[None, :], (8, NB)
     )
 
-    import os as _os
-
-    if _os.environ.get("SALT_TPU_SW_KERNEL", "grid") == "fori":
+    if _variant == "fori":
         # alternate formulation: one grid step per candidate tile, the
         # diagonal walk as an in-kernel fori_loop with a pl.ds window
         # read.  Kept selectable because the relay's Mosaic build
@@ -258,3 +265,122 @@ def sw_score_batch_pallas(
         interpret=interpret,
     )(revref, reads_t, reflen)
     return out[0, :B]
+
+
+def _sw_wave_kernel(s_ref, reflen_ref, out_ref, *, ND: int, L: int,
+                    go: int, ge: int):
+    """Candidates-on-sublanes wavefront (variant "wave").
+
+    Affine SW has NO intra-diagonal dependency: E(i,j) and F(i,j) read
+    diagonal d-1 (same / shifted lane) and the match term reads d-2 —
+    SSW's lazy-F is an artifact of its column-striped layout, not of
+    the DP.  With read positions on the LANE axis and 8 candidates on
+    the sublanes, every step is (8,128) elementwise VREG work plus one
+    lane shift; the per-diagonal score vectors arrive PRECOMPUTED from
+    XLA (s_ref, statically indexed), so the kernel body contains only
+    elementwise ops and static slices — the op class the relay's
+    Nov-2025 Mosaic has always compiled (its rejections were dynamic
+    VMEM slices, (1,128) blocks, and Element grid walks).
+
+    s_ref: (ND, 8, LANES) int32 — s[d, c, i] = score(read_c[i],
+    ref_c[d - i]) for the textbook matrices (sw_batch._score_*).
+    reflen_ref: (8, LANES) int32 per-candidate window length.
+    out: (8, LANES) best score broadcast along lanes."""
+    shape = (8, LANES)
+    goc = jnp.int32(go)
+    gec = jnp.int32(ge)
+    NEGc = jnp.int32(NEG)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    reflen = reflen_ref[...]
+
+    def shift(x, fill):
+        from jax.experimental.pallas import tpu as pltpu
+
+        r = pltpu.roll(x, 1, 1)  # lane i <- lane i-1 (127 wraps to 0)
+        return jnp.where(lane == 0, fill, r)
+
+    zero = jnp.zeros(shape, jnp.int32)
+    negs = jnp.full(shape, NEGc, jnp.int32)
+    h1, h2, e, f = zero, zero, negs, negs
+    best = zero
+    for d in range(ND):
+        s = s_ref[d, :, :]
+        e = jnp.maximum(e - gec, h1 - goc)
+        h1s = shift(h1, zero)
+        f = jnp.maximum(shift(f, negs) - gec, h1s - goc)
+        h = jnp.maximum(jnp.maximum(shift(h2, zero) + s, e), f)
+        h = jnp.maximum(h, 0)
+        j = d - lane
+        valid = (lane < L) & (j >= 0) & (j < reflen)
+        h = jnp.where(valid, h, 0)
+        e = jnp.where(valid, e, NEGc)
+        f = jnp.where(valid, f, NEGc)
+        best = jnp.maximum(best, h)
+        h2, h1 = h1, h
+    out_ref[...] = jnp.broadcast_to(
+        jnp.max(best, axis=1, keepdims=True), shape)
+
+
+def _sw_wave_planes(refs, reads, snp_mode: bool, L: int, W: int, T: int):
+    """XLA-side per-diagonal score planes for the wave kernel.
+    refs (B, W) int32, reads (B, L) int32 -> (ND, T*8, LANES) int32
+    via 128 static Hankel slices (no gathers)."""
+    from .sw_batch import _score_plain, _score_snp
+
+    B = refs.shape[0]
+    ND = W + L - 1
+    # refq[c, x] = ref[c, x - LANES]; x in [0, LANES + W + LANES)
+    refq = jnp.concatenate([
+        jnp.zeros((B, LANES), jnp.int32), refs.astype(jnp.int32),
+        jnp.zeros((B, LANES), jnp.int32)], axis=1)
+    # twin[c, d, i] = ref[c, d - i] = refq[c, d - i + LANES]
+    cols = [
+        jax.lax.slice_in_dim(refq, LANES - i, LANES - i + ND, axis=1)
+        for i in range(LANES)
+    ]
+    twin = jnp.stack(cols, axis=2)                       # (B, ND, LANES)
+    reads_p = jnp.pad(reads.astype(jnp.int32), ((0, 0), (0, LANES - L)),
+                      constant_values=15 if snp_mode else 7)
+    rd = reads_p[:, None, :]                             # (B, 1, LANES)
+    s = (_score_snp(twin, rd) if snp_mode else _score_plain(twin, rd))
+    s = jnp.pad(s, ((0, T * 8 - B), (0, 0), (0, 0)))
+    return s.transpose(1, 0, 2)                          # (ND, T*8, LANES)
+
+
+def sw_score_batch_pallas_wave(
+    refs: jnp.ndarray,      # (B, W) int32 window chars (zero-padded)
+    reads: jnp.ndarray,     # (B, L) int32
+    ref_len: jnp.ndarray,   # (B,) int32
+    snp_mode: bool = True,
+    gap_open: int = 3,
+    gap_extend: int = 1,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, W = refs.shape
+    L = reads.shape[1]
+    if L > LANES:
+        raise ValueError(f"wave kernel needs read length <= {LANES}")
+    T = (B + 7) // 8
+    ND = W + L - 1
+    s = _sw_wave_planes(refs, reads, snp_mode, L, W, T)
+    reflen = jnp.broadcast_to(
+        jnp.pad(ref_len.astype(jnp.int32), (0, T * 8 - B))[:, None],
+        (T * 8, LANES)).reshape(T, 8, LANES).reshape(T * 8, LANES)
+    out = pl.pallas_call(
+        partial(_sw_wave_kernel, ND=ND, L=L, go=gap_open, ge=gap_extend),
+        out_shape=jax.ShapeDtypeStruct((T * 8, LANES), jnp.int32),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((ND, 8, LANES), lambda t: (0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, LANES), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(s, reflen)
+    return out[:B, 0]

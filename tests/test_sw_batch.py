@@ -99,10 +99,16 @@ def test_padding_is_inert():
     assert a[0] == b
 
 
-def test_pallas_matches_reference():
-    """Pallas kernel (interpret mode on CPU) == jnp reference scores."""
+import pytest
+
+
+@pytest.mark.parametrize("variant", ["wave", "grid", "fori"])
+def test_pallas_matches_reference(variant, monkeypatch):
+    """Pallas kernel (interpret mode on CPU) == jnp reference scores,
+    for every kernel formulation."""
     from salt_tpu.ops.sw_pallas import sw_score_batch_pallas
 
+    monkeypatch.setenv("SALT_TPU_SW_KERNEL", variant)
     rng = np.random.default_rng(5)
     for snp in (True, False):
         B = 9
@@ -120,3 +126,21 @@ def test_pallas_matches_reference():
         got = np.asarray(sw_score_batch_pallas(
             refs, reads, lens, snp_mode=snp, interpret=True))
         assert (got == want).all(), (snp, got, want)
+
+
+def test_wave_full_length_reads():
+    """The wave kernel at L=100/W=128 (the -X 1 prefilter shape) and at
+    the L=128 lane-capacity edge, mixed ref_len."""
+    from salt_tpu.ops.sw_pallas import sw_score_batch_pallas_wave
+
+    rng = np.random.default_rng(13)
+    for L, W in ((100, 128), (128, 160)):
+        B = 17
+        refs = rng.integers(1, 16, (B, W)).astype(np.int32)
+        reads = (1 << rng.integers(0, 4, (B, L))).astype(np.int32)
+        lens = rng.integers(L // 2, W + 1, B).astype(np.int32)
+        refs[np.arange(W)[None, :] >= lens[:, None]] = 0
+        want = np.asarray(sw_score_batch(refs, reads, lens, snp_mode=True))
+        got = np.asarray(sw_score_batch_pallas_wave(
+            refs, reads, lens, snp_mode=True, interpret=True))
+        assert (got == want).all(), (L, W, got[:8], want[:8])
