@@ -28,6 +28,8 @@ SA_MODE = "full"
 SNP_EVERY = 300            # ~1 SNP / 300bp (snp144Common density scale)
 N_CONTIG = 4 if GENOME_LEN >= 1_000_000_000 else 1
 BATCH = int(os.environ.get("SALT_TPU_BENCH_BATCH", "4096"))
+GENOME_CONFIG = "uniform"
+READ_INDEL_FRAC = 0.0
 for i, a in enumerate(sys.argv):
     if a == "--save":
         SAVE_PREFIX = sys.argv[i + 1]
@@ -37,6 +39,10 @@ for i, a in enumerate(sys.argv):
         SA_MODE = sys.argv[i + 1]
     if a == "--snp-every":
         SNP_EVERY = int(sys.argv[i + 1])
+    if a == "--genome-config":     # "repeat": salt_tpu.sim.genome_gen
+        GENOME_CONFIG = sys.argv[i + 1]
+    if a == "--read-indels":       # fraction of reads carrying one indel
+        READ_INDEL_FRAC = float(sys.argv[i + 1])
 N_READS = BATCH * 3
 L = 100
 
@@ -54,7 +60,7 @@ def log(msg):
 
 T00 = time.time()
 rng = np.random.default_rng(7)
-lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+lut = np.frombuffer(b"ACGTN", dtype=np.uint8)
 
 if LOAD_PREFIX:
     # reload a saved bundle and reconstruct truth reads from it: pac
@@ -81,14 +87,25 @@ if LOAD_PREFIX:
     log(f"{len(gpos)/1e6:.2f}M SNP positions recovered from mixRef")
     build_s = 0.0
 else:
-    log(f"synthesizing {GENOME_LEN/1e6:.0f}MB genome, {N_CONTIG} contigs...")
-    codes = rng.integers(0, 4, GENOME_LEN, dtype=np.int64).astype(np.uint8)
+    log(f"synthesizing {GENOME_LEN/1e6:.0f}MB {GENOME_CONFIG} genome, "
+        f"{N_CONTIG} contigs...")
+    if GENOME_CONFIG == "uniform":
+        codes = rng.integers(0, 4, GENOME_LEN, dtype=np.int64).astype(np.uint8)
+    else:
+        from salt_tpu.sim.genome_gen import synthesize_genome
+
+        codes = np.concatenate([
+            c for _n, c in synthesize_genome(
+                GENOME_LEN, N_CONTIG, seed=7, config=GENOME_CONFIG)
+        ])
 
 # SNPs at ~1/SNP_EVERY bp (global positions, then split per contig)
 if not LOAD_PREFIX:
     n_snp = GENOME_LEN // SNP_EVERY
-    gpos = np.sort(rng.choice(GENOME_LEN, size=n_snp,
+    nonN = np.nonzero(codes < 4)[0]
+    gpos = np.sort(rng.choice(nonN, size=n_snp,
                               replace=False).astype(np.int64))
+    del nonN
     ref_codes = codes[gpos]
     alt = ((ref_codes + rng.integers(1, 4, n_snp)) % 4).astype(np.uint8)
     stype_all = ((1 << ref_codes) | (1 << alt)
@@ -127,23 +144,59 @@ if not LOAD_PREFIX:
     if BUILD_ONLY:
         sys.exit(0)
 
-# reads from the SNP-mutated haplotype + 0.1% errors
+# reads from the SNP-mutated haplotype: both strands, 0.1% errors,
+# optionally one small indel per read (--read-indels), truth encoded
+# wgsim-style in the name (contig_left_right_; 1-based ref span) so
+# the output scores under the bundled alneval 20bp per-MAPQ protocol
 # (in load mode codes IS idx.pac — copy before mutating)
 hap = codes.copy() if LOAD_PREFIX else codes
 hap[gpos] = alt
 del alt, gpos
-starts = rng.integers(0, GENOME_LEN - L, N_READS)
 reads = []
-for s in starts:
-    r = hap[s : s + L].copy()
-    err = rng.random(L) < 0.001
-    r[err] = rng.integers(0, 4, int(err.sum()))
-    reads.append(lut[r].tobytes().decode("latin1"))
+names = []
+starts = []
+
+
+def _mk_se_reads(idx_contigs):
+    offs = [(c.offset, c.name, c.length) for c in idx_contigs]
+    n_made = 0
+    while n_made < N_READS:
+        s = int(rng.integers(0, GENOME_LEN - L - 8))
+        span = L
+        r = hap[s : s + L + 8].copy()
+        if (r[:L] >= 4).any():
+            continue  # N run: wgsim would reject the window too
+        if READ_INDEL_FRAC > 0 and rng.random() < READ_INDEL_FRAC:
+            ilen = int(rng.integers(1, 5))
+            p = int(rng.integers(8, L - 8))
+            if rng.random() < 0.5:    # deletion: ref span longer
+                r = np.concatenate([r[:p], r[p + ilen:]])
+                span = L + ilen
+            else:                     # insertion into the read
+                ins = rng.integers(0, 4, ilen).astype(np.uint8)
+                r = np.concatenate([r[:p], ins, r[p:]])
+                span = L - ilen
+        r = r[:L].copy()
+        err = rng.random(L) < 0.001
+        r[err] = rng.integers(0, 4, int(err.sum()))
+        strand = int(rng.random() < 0.5)
+        if strand:
+            r = np.where(r < 4, 3 - r[::-1], 4).astype(np.uint8)
+        co, cn = 0, "chr1"
+        for o, nm, ln in offs:
+            if o <= s < o + ln:
+                co, cn = o, nm
+        reads.append(lut[np.minimum(r, 4)].tobytes().decode("latin1"))
+        names.append(f"{cn}_{s - co + 1}_{s - co + span}_{n_made}")
+        starts.append(s)
+        n_made += 1
+
+
+_mk_se_reads(idx.contigs)
 if "--pe" not in sys.argv:
     del hap
 del codes
-
-recs = [SeqRecord(name=f"r{i}_{starts[i]}", comment=None, seq=s, qual="I" * L)
+recs = [SeqRecord(name=names[i], comment=None, seq=s, qual="I" * L)
         for i, s in enumerate(reads)]
 opts = SEOptions(l_overlap=1, max_locate=500, batch_size=BATCH,
                  gap_batch=128, sa_mode=SA_MODE)
@@ -159,8 +212,8 @@ dt = time.time() - t0
 n = len(recs) - BATCH
 log(f"aligned {n} reads in {dt:.2f}s -> {n/dt:.0f} reads/s")
 
-# accuracy: primary position within 5bp of truth.  Truth starts are
-# global; convert SAM (contig, pos) back to global via contig offsets.
+# accuracy A: primary contig+position within 5bp of truth (round-4
+# continuity metric; forward-strand left endpoints)
 offs = {c.name: c.offset for c in idx.contigs}
 ok = 0
 tot = 0
@@ -171,11 +224,19 @@ for i, line in enumerate(out):
     if f[2] == "*":
         continue
     tot += 1
-    truth = int(recs[BATCH + i].name.split("_")[1])
+    parts = recs[BATCH + i].name.split("_")
+    truth = offs[parts[0]] + int(parts[1]) - 1
     if abs(offs[f[2]] + int(f[3]) - 1 - truth) <= 5:
         ok += 1
 log(f"accuracy: {ok}/{tot} primaries within 5bp of truth "
     f"({100.0*ok/max(tot,1):.2f}%), {n - tot} unmapped")
+
+# accuracy B: the bundled alneval protocol (wgsim_eval.pl port): 20bp
+# tolerance, strand-aware endpoints, per-MAPQ error table
+from salt_tpu.eval import alneval
+
+ev = alneval(line + "\n" for line in out if line)
+log("SE per-MAPQ (alneval, 20bp):\n" + ev.report())
 
 if "--pe" in sys.argv:
     # PE pairs/s on the same genome (the BASELINE north-star metric is
@@ -193,17 +254,24 @@ if "--pe" in sys.argv:
     log("SE engine released")
 
     n_pairs = BATCH * 2
-    p_starts = rng.integers(0, GENOME_LEN - 700, n_pairs + BATCH // 2)
-    isize = np.clip(rng.normal(500, 50, len(p_starts)).astype(np.int64),
-                    2 * L + 10, 680)
-    r1l, r2l = [], []
-    for s, d in zip(p_starts, isize):
+    poffs = [(c.offset, c.name, c.length) for c in idx.contigs]
+    r1l, r2l, pnames = [], [], []
+    while len(r1l) < n_pairs + BATCH // 2:
+        s = int(rng.integers(0, GENOME_LEN - 700))
+        d = int(np.clip(rng.normal(500, 50), 2 * L + 10, 680))
         a = hap[s : s + L]
-        b = hap[s + d - L : s + d][::-1]
-        b = np.where(b < 4, 3 - b, 4).astype(np.uint8)
+        bsrc = hap[s + d - L : s + d]
+        if (a >= 4).any() or (bsrc >= 4).any():
+            continue  # N run
+        b = np.where(bsrc[::-1] < 4, 3 - bsrc[::-1], 4).astype(np.uint8)
+        co, cn = 0, "chr1"
+        for o, nm, ln in poffs:
+            if o <= s < o + ln:
+                co, cn = o, nm
         r1l.append(lut[a].tobytes().decode("latin1"))
         r2l.append(lut[b].tobytes().decode("latin1"))
-    mk = lambda rs: [SeqRecord(name=f"p{i}", comment=None, seq=s,
+        pnames.append(f"{cn}_{s - co + 1}_{s - co + d}_{len(pnames)}")
+    mk = lambda rs: [SeqRecord(name=pnames[i], comment=None, seq=s,
                                qual="I" * L) for i, s in enumerate(rs)]
     pr1, pr2 = mk(r1l), mk(r2l)
     opts_pe = PEOptions(l_overlap=1, max_locate=500, print_nm_md=True,
@@ -215,6 +283,8 @@ if "--pe" in sys.argv:
     al_pe.align_pairs(pr1[: BATCH // 2], pr2[: BATCH // 2])  # warmup
     log(f"PE warmup {time.time()-t0:.1f}s")
     t0 = time.time()
-    al_pe.align_pairs(pr1[BATCH // 2 :], pr2[BATCH // 2 :])
+    pe_out = al_pe.align_pairs(pr1[BATCH // 2 :], pr2[BATCH // 2 :])
     dt = time.time() - t0
     log(f"PE: {n_pairs} pairs in {dt:.2f}s -> {n_pairs/dt:.0f} pairs/s")
+    ev = alneval(line for line in pe_out if line.strip())
+    log("PE per-MAPQ (alneval, 20bp):\n" + ev.report())
