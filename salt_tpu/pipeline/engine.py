@@ -92,6 +92,9 @@ class SEOptions:
     # whole-human-genome index on a single chip (device_index.SampledSA)
     sa_mode: str = "full"
     sa_intv: int = 8
+    # locate column-block size (ops/locate.py): None = per-mode default
+    # (128-col chunked in sampled mode, flat in full mode); 0 = flat
+    locate_chunk: Optional[int] = None
     sw_thres_score: int = 50     # aln_opt->thres_score (aln.h:144)
     sw_filterd: int = 20         # aln_opt->filterd (aln.h:142)
     # batched device SW pre-filter (see pe_engine.PEOptions / sw_batch.py):
@@ -272,6 +275,7 @@ class SEAligner:
                 l_overlap=o.l_overlap, max_seed=o.max_seed,
                 max_locate=o.max_locate, cap=o.cap(), u=o.verify_width,
                 k_hits=o.k_hits, pe_mode=o.pe_locate, sampled=self.sampled,
+                chunk=o.locate_chunk,
             )
             packed_dev = _pack_ungapped(out.res, out.needs_gap, out.overflow)
         return fwd, rev, out, packed_dev
@@ -311,7 +315,7 @@ class SEAligner:
                         l_overlap=o.l_overlap, max_seed=o.max_seed,
                         max_locate=o.max_locate, cap=o.full_cap(),
                         u=o.full_cap(), k_hits=K, pe_mode=o.pe_locate,
-                        sampled=self.sampled,
+                        sampled=self.sampled, chunk=o.locate_chunk,
                     )
                     fp = np.asarray(_pack_ungapped(
                         out_f.res, out_f.needs_gap, out_f.overflow))

@@ -120,7 +120,7 @@ def unpack_result(arr, k_hits: int):
 
 
 def _seed_and_locate(dix: DeviceIndex, seq, l_overlap, max_seed, max_locate,
-                     cap, pe_mode=False, sampled=None):
+                     cap, pe_mode=False, sampled=None, chunk=None):
     L = seq.shape[-1]
     c_seeds, r_seeds = seed_overlap(
         dix.ri_c, dix.ri_r, dix.lkt, seq, dix.l_seed, l_overlap, max_seed,
@@ -129,13 +129,13 @@ def _seed_and_locate(dix: DeviceIndex, seq, l_overlap, max_seed, max_locate,
     lo = locate(
         c_seeds, r_seeds, dix.sa_cat, dix.c_sa_len, L, dix.l_pac,
         max_locate, cap, pe_mode=pe_mode, sampled=sampled,
-        ri_c=dix.ri_c, ri_r=dix.ri_r,
+        ri_c=dix.ri_c, ri_r=dix.ri_r, chunk=chunk,
     )
     return sort_loci(lo.loci), lo.overflow
 
 
 @partial(jax.jit, static_argnames=(
-    "l_overlap", "max_seed", "max_locate", "cap", "pe_mode"))
+    "l_overlap", "max_seed", "max_locate", "cap", "pe_mode", "chunk"))
 def _se_seed_locate(
     dix: DeviceIndex,
     seq_f: jnp.ndarray,
@@ -146,12 +146,13 @@ def _se_seed_locate(
     cap: int,
     pe_mode: bool = False,
     sampled=None,
+    chunk: int = None,
 ):
     """Phase 1: seed + locate + sort, both strands in one (2B,...) batch."""
     # reads arrive as uint8 (transfer-lean); compute in int32
     seq2 = jnp.concatenate([seq_f, seq_r], axis=0).astype(jnp.int32)
     lc, loc_ovf = _seed_and_locate(dix, seq2, l_overlap, max_seed,
-                                   max_locate, cap, pe_mode, sampled)
+                                   max_locate, cap, pe_mode, sampled, chunk)
     return seq2, lc, loc_ovf
 
 
@@ -208,6 +209,7 @@ def se_ungapped(
     k_hits: int = 16,
     pe_mode: bool = False,
     sampled=None,
+    chunk: int = None,   # locate column-block size (ops/locate.py)
 ) -> UngappedOut:
     """The ungapped device step, as THREE chained jit programs.
 
@@ -224,6 +226,7 @@ def se_ungapped(
     seq2, lc, loc_ovf = _se_seed_locate(
         dix, seq_f, seq_r, l_overlap=l_overlap, max_seed=max_seed,
         max_locate=max_locate, cap=cap, pe_mode=pe_mode, sampled=sampled,
+        chunk=chunk,
     )
     v, ovf = _nocache_first_call("verify", _se_verify, dix, seq2, lc,
                                  loc_ovf, u=u)
