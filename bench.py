@@ -207,16 +207,13 @@ def run_scale(genome_mb=45):
     from salt_tpu.pipeline.engine import SEAligner, SEOptions
     from salt_tpu.sim.genome_gen import synthesize_genome
 
+    from salt_tpu.sim.genome_gen import sample_snps
+
     glen = genome_mb * 1_000_000
     rng = np.random.default_rng(77)
     lut = np.frombuffer(b"ACGTN", dtype=np.uint8)
     (name, codes), = synthesize_genome(glen, 1, seed=7, config="repeat")
-    n_snp = glen // 300
-    ok = codes < 4
-    gpos = np.sort(rng.choice(np.nonzero(ok)[0], size=n_snp, replace=False))
-    ref_codes = codes[gpos].astype(np.int64)
-    alt = ((ref_codes + rng.integers(1, 4, n_snp)) % 4).astype(np.uint8)
-    stype = ((1 << ref_codes) | (1 << alt) | (ref_codes << 4)).astype(np.uint8)
+    gpos, alt, stype = sample_snps(codes, 300, rng)
     contig_data = [(name, "synthetic", lut[codes])]
     blocks = [SnpBlock(name, gpos.astype(np.uint32), stype)]
     t0 = time.time()

@@ -309,9 +309,10 @@ def lv_distance_batch_pallas(
     """Drop-in equivalent of lv_distance_batch (distances, BIG=255 when
     inactive/no alignment within k).  `variant` (default from
     SALT_TPU_LV_KERNEL, "v1") selects the kernel formulation.  The env
-    var is resolved HERE, outside the jitted impl, so changing it
-    between calls is honored even for already-compiled shapes (advisor
-    r4 finding: a trace-time read bakes the first value in)."""
+    var is resolved in this unjitted wrapper, so EAGER callers honor
+    changes between calls; jitted callers must resolve it themselves
+    outside their jit and pass `variant` explicitly (pipeline/se.py
+    se_gapped does)."""
     if variant is None:
         import os as _os
         variant = _os.environ.get("SALT_TPU_LV_KERNEL", "v1")

@@ -126,8 +126,13 @@ def sw_score_dispatch(refs, reads, lens, snp_mode: bool,
 
     from .sw_pallas import sw_score_batch_pallas
 
+    # failures are recorded per (snp_mode, shape-class): the wave
+    # kernel serves narrow windows and the grid/fori formulations wide
+    # ones, so a wide-window compile failure must not disable the
+    # narrow-window kernel for the rest of the process
+    wide = refs.shape[1] > 256 or reads.shape[1] > 128
     use_pallas = (jax.default_backend() == "tpu"
-                  and not _PALLAS_SW_FAILED.get(snp_mode))
+                  and not _PALLAS_SW_FAILED.get((snp_mode, wide)))
     if use_pallas:
         try:
             out = sw_score_batch_pallas(
@@ -138,11 +143,11 @@ def sw_score_dispatch(refs, reads, lens, snp_mode: bool,
             # the caller's np.asarray, escaping this fallback
             return jax.block_until_ready(out)
         except Exception as e:
-            _PALLAS_SW_FAILED[snp_mode] = True
+            _PALLAS_SW_FAILED[(snp_mode, wide)] = True
             sys.stderr.write(
-                f"[sw_pallas] kernel FAILED on TPU (snp_mode={snp_mode}): "
-                f"{type(e).__name__}: {e}\n[sw_pallas] falling back to the "
-                f"XLA scorer for the rest of this process\n")
+                f"[sw_pallas] kernel FAILED on TPU (snp_mode={snp_mode}, "
+                f"wide={wide}): {type(e).__name__}: {e}\n[sw_pallas] "
+                f"falling back to the XLA scorer for this shape class\n")
     return sw_score_batch(refs, reads, lens, snp_mode=snp_mode,
                           gap_open=gap_open, gap_extend=gap_extend)
 

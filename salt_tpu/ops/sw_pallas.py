@@ -188,10 +188,18 @@ def sw_score_batch_pallas(
     import os as _os
 
     _variant = _os.environ.get("SALT_TPU_SW_KERNEL", "wave")
-    if _variant == "wave" and L <= LANES:
+    # wave materializes (W+L-1, B, 128) int32 score planes in HBM
+    # (~512*(W+L) bytes per candidate): a fine trade at the -X 1
+    # prefilter shape (W ~ L+5) but unbounded in W — long PE-rescue
+    # windows (W ~ 700) would allocate GBs next to a whole-genome
+    # index.  Cap it; wider windows use the grid/fori formulations or
+    # the XLA scan fallback.
+    if _variant == "wave" and L <= LANES and W <= 2 * LANES:
         return sw_score_batch_pallas_wave(
             refs, reads, ref_len, snp_mode=snp_mode, gap_open=gap_open,
             gap_extend=gap_extend, interpret=interpret)
+    if _variant == "wave":
+        _variant = "grid"
 
     LP = ((L + 7) // 8) * 8
     WP = ((W + 7) // 8) * 8

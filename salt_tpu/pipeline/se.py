@@ -293,16 +293,18 @@ def _gapped_checked(loci: Loci, L: int, l_mref: int):
     return loci.pushed & (pos != prev) & (end_u < jnp.uint32(l_mref))
 
 
-def _gapped_verify(dix, loci, seq, u, k):
+def _gapped_verify(dix, loci, seq, u, k, lv_variant):
     B, L = seq.shape
     checked = _gapped_checked(loci, L, dix.l_pac)
     pos, keep, ovf = compact_loci(loci, checked, u)
     end_u = pos + jnp.uint32(L + GAP_WINDOW_PAD)
     in_ref = keep & (pos <= jnp.uint32(dix.l_pac)) & (end_u <= jnp.uint32(dix.l_pac))
-    # the Pallas tile kernel keeps the whole wavefront DP in VMEM
-    # (2.3x the XLA version on TPU); CPU uses the jnp reference version
-    lv_fn = (lv_distance_batch_pallas
-             if jax.default_backend() == "tpu" else lv_distance_batch)
+    # the Pallas tile kernel keeps the whole wavefront DP in VMEM;
+    # CPU uses the jnp reference version
+    if jax.default_backend() == "tpu":
+        lv_fn = partial(lv_distance_batch_pallas, variant=lv_variant)
+    else:
+        lv_fn = lv_distance_batch
     d = lv_fn(
         dix.mixref_words,
         pos.astype(jnp.int32).reshape(-1),
@@ -315,7 +317,7 @@ def _gapped_verify(dix, loci, seq, u, k):
     return StrandVerify(counts=counts, checked=keep, pos=pos), ovf
 
 
-@partial(jax.jit, static_argnames=("k", "u"))
+@partial(jax.jit, static_argnames=("k", "u", "lv_variant"))
 def _se_gapped_verify(
     dix: DeviceIndex,
     seq_f: jnp.ndarray,   # (Bg, L)
@@ -324,11 +326,12 @@ def _se_gapped_verify(
     loci1: Loci,
     k: int,
     u: int,
+    lv_variant: str = None,
 ):
     seq2 = jnp.concatenate([seq_f, seq_r], axis=0).astype(jnp.int32)
     lc = Loci(*(jnp.concatenate([a, b], axis=0)
                 for a, b in zip(loci0, loci1)))
-    return _gapped_verify(dix, lc, seq2, u, k)
+    return _gapped_verify(dix, lc, seq2, u, k, lv_variant)
 
 
 @partial(jax.jit, static_argnames=("k", "k_hits"))
@@ -353,7 +356,11 @@ def se_gapped(
     k_hits: int = 16,
 ) -> GappedOut:
     """Gapped (Landau-Vishkin) check, split at the verify/replay
-    boundary like se_ungapped (XLA:TPU fusion-pass compile pathology)."""
+    boundary like se_ungapped (XLA:TPU fusion-pass compile pathology).
+    The LV kernel variant env var is resolved HERE, outside the jit, so
+    changes between calls are honored even for compiled shapes."""
+    lv_variant = _os.environ.get("SALT_TPU_LV_KERNEL", "v1")
     v, ovf = _nocache_first_call("gapped_verify", _se_gapped_verify, dix,
-                                 seq_f, seq_r, loci0, loci1, k=k, u=u)
+                                 seq_f, seq_r, loci0, loci1, k=k, u=u,
+                                 lv_variant=lv_variant)
     return _se_gapped_select(v, ovf, k=k, k_hits=k_hits)

@@ -94,8 +94,10 @@ def synthesize_contig(length: int, rng, config: str = "repeat") -> np.ndarray:
 
     # segmental duplications (copy assembled sequence, light divergence)
     n_segdup = max(length // 20_000_000, 2)
+    sd_lo = min(20_000, max(length // 8, 100))
+    sd_hi = max(min(100_000, length // 4), sd_lo + 1)
     for _ in range(n_segdup):
-        sl = int(rng.integers(20_000, min(100_000, length // 4)))
+        sl = int(rng.integers(sd_lo, sd_hi))
         src = int(rng.integers(0, length - sl))
         dst = int(rng.integers(0, length - sl))
         codes[dst:dst + sl] = _diverge(codes[src:src + sl],
@@ -123,6 +125,23 @@ def synthesize_genome(length: int, n_contigs: int = 1, seed: int = 7,
         ln = length - clen * (n_contigs - 1) if ci == n_contigs - 1 else clen
         out.append((f"chr{ci + 1}", synthesize_contig(ln, rng, config)))
     return out
+
+
+def sample_snps(codes: np.ndarray, every: int, rng):
+    """SNP overlay for a synthetic genome: ~1 SNP per `every` bases on
+    non-N positions.  Returns (gpos int64 sorted, alt uint8, stype
+    uint8) with the hapmap stype encoding (1<<ref | 1<<alt | ref<<4).
+    Positions are sampled directly and resampled off N runs — no
+    nonzero() materialization (a ~25GB int64 array at 3.1G)."""
+    n = len(codes)
+    n_snp = n // every
+    gpos = np.unique(rng.integers(0, n, int(n_snp * 1.1)))
+    gpos = gpos[codes[gpos] < 4][:n_snp]
+    ref_codes = codes[gpos].astype(np.int64)
+    alt = ((ref_codes + rng.integers(1, 4, len(gpos))) % 4).astype(np.uint8)
+    stype = ((1 << ref_codes) | (1 << alt)
+             | (ref_codes << 4)).astype(np.uint8)
+    return gpos.astype(np.int64), alt, stype
 
 
 def write_fasta(contigs, path: str, width: int = 70) -> None:

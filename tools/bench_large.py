@@ -101,15 +101,9 @@ else:
 
 # SNPs at ~1/SNP_EVERY bp (global positions, then split per contig)
 if not LOAD_PREFIX:
-    n_snp = GENOME_LEN // SNP_EVERY
-    nonN = np.nonzero(codes < 4)[0]
-    gpos = np.sort(rng.choice(nonN, size=n_snp,
-                              replace=False).astype(np.int64))
-    del nonN
-    ref_codes = codes[gpos]
-    alt = ((ref_codes + rng.integers(1, 4, n_snp)) % 4).astype(np.uint8)
-    stype_all = ((1 << ref_codes) | (1 << alt)
-                 | (ref_codes << 4)).astype(np.uint8)
+    from salt_tpu.sim.genome_gen import sample_snps
+
+    gpos, alt, stype_all = sample_snps(codes, SNP_EVERY, rng)
 
     clen = GENOME_LEN // N_CONTIG
     contig_data = []
@@ -123,7 +117,7 @@ if not LOAD_PREFIX:
         blocks.append(SnpBlock(f"chr{ci+1}",
                                (gpos[sel] - s0).astype(np.uint32),
                                stype_all[sel]))
-    log(f"{n_snp/1e6:.2f}M SNPs synthesized")
+    log(f"{len(gpos)/1e6:.2f}M SNPs synthesized")
 
     t0 = time.time()
     idx = build_index_from_data(contig_data, blocks, l_seed=19)
@@ -164,8 +158,8 @@ def _mk_se_reads(idx_contigs):
         s = int(rng.integers(0, GENOME_LEN - L - 8))
         span = L
         r = hap[s : s + L + 8].copy()
-        if (r[:L] >= 4).any():
-            continue  # N run: wgsim would reject the window too
+        if (r >= 4).any():
+            continue  # N run (full window: a deletion consumes the pad)
         if READ_INDEL_FRAC > 0 and rng.random() < READ_INDEL_FRAC:
             ilen = int(rng.integers(1, 5))
             p = int(rng.integers(8, L - 8))
@@ -181,7 +175,8 @@ def _mk_se_reads(idx_contigs):
         r[err] = rng.integers(0, 4, int(err.sum()))
         strand = int(rng.random() < 0.5)
         if strand:
-            r = np.where(r < 4, 3 - r[::-1], 4).astype(np.uint8)
+            rr = r[::-1]
+            r = np.where(rr < 4, 3 - rr, 4).astype(np.uint8)
         co, cn = 0, "chr1"
         for o, nm, ln in offs:
             if o <= s < o + ln:

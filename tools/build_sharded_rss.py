@@ -74,23 +74,16 @@ def main():
     os.makedirs(WORKDIR, exist_ok=True)
     gpath = f"{WORKDIR}/genome.npy"
     if not os.path.exists(gpath):
-        from salt_tpu.sim.genome_gen import synthesize_genome
+        from salt_tpu.sim.genome_gen import sample_snps, synthesize_genome
 
         t0 = time.time()
-        # one contig per shard bin (contiguous-bin partition); repeat
-        # config so the build sees realistic LMS distribution
+        # one contig per shard bin (contiguous-bin partition)
         contigs = synthesize_genome(TOTAL, N_SHARDS, seed=7,
                                     config="uniform")
         genome = np.concatenate([c for _n, c in contigs])
         np.save(gpath, genome)
         rng = np.random.default_rng(7)
-        n_snp = TOTAL // SNP_EVERY
-        ok = np.nonzero(genome < 4)[0]
-        gpos = np.sort(rng.choice(ok, size=n_snp, replace=False))
-        ref_codes = genome[gpos].astype(np.int64)
-        alt = ((ref_codes + rng.integers(1, 4, n_snp)) % 4).astype(np.uint8)
-        stype = ((1 << ref_codes) | (1 << alt)
-                 | (ref_codes << 4)).astype(np.uint8)
+        gpos, _alt, stype = sample_snps(genome, SNP_EVERY, rng)
         np.savez(f"{WORKDIR}/snp.npz", gpos=gpos, stype=stype)
         print(f"[shardbuild] genome+SNPs synthesized in "
               f"{time.time()-t0:.0f}s", flush=True)

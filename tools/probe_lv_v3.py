@@ -108,7 +108,7 @@ def main():
     reads = jnp.asarray(
         (1 << rng.integers(0, 4, (B, L))).astype(np.int32))
     lens = jnp.full((B,), W, jnp.int32)
-    for v in ("grid", "fori"):
+    for v in ("wave", "grid", "fori"):
         os.environ["SALT_TPU_SW_KERNEL"] = v
         try:
             out = sw_score_batch_pallas(refs, reads, lens, snp_mode=True)

@@ -86,9 +86,13 @@ def main():
                          "or C toolchain needed)")
     args = ap.parse_args()
     if args.max_err is None:
-        args.max_err = 0.0 if (args.err_rate == 0 and args.indel_frac == 0
-                               and args.genome_config == "uniform"
-                               and not args.genome_synth) else 1.0
+        # strict gate only for the classic error-free protocol; any
+        # error/indel/repeat-genome run is report-only by default
+        # (genome_config only matters when a genome is synthesized)
+        hard = (args.err_rate == 0 and args.indel_frac == 0
+                and (not args.genome_synth
+                     or args.genome_config == "uniform"))
+        args.max_err = 0.0 if hard else 1.0
 
     os.makedirs(args.workdir, exist_ok=True)
     wd = args.workdir
@@ -108,8 +112,12 @@ def main():
                   f"{args.genome_config} genome synthesized in "
                   f"{time.time()-t0:.1f}s", flush=True)
         args.genome = gfa
-    r1, r2 = f"{wd}/R1.fq", f"{wd}/R2.fq"
-    mut = f"{wd}/mutations.txt"
+    # simulation products are keyed by every knob that shapes them, so
+    # a rerun with different flags never silently reuses stale reads
+    simtag = (f"{args.n_pairs}_{args.err_rate}_{args.indel_frac}_"
+              f"{os.path.basename(args.genome)}")
+    r1, r2 = f"{wd}/R1_{simtag}.fq", f"{wd}/R2_{simtag}.fq"
+    mut = f"{wd}/mutations_{simtag}.txt"
     if not os.path.exists(r1):
         if args.sim == "internal":
             from salt_tpu.sim.wgsim import SimParams, simulate
@@ -131,7 +139,7 @@ def main():
                      "-1", "100", "-2", "100", "-h", args.genome, r1, r2],
                     stdout=m, stderr=subprocess.DEVNULL, check=True,
                 )
-    n_snp = mutations_to_hapmap(mut, f"{wd}/hapmap.txt")
+    n_snp = mutations_to_hapmap(mut, f"{wd}/hapmap_{simtag}.txt")
     print(f"[harness] {args.n_pairs} pairs simulated, {n_snp} SNPs", flush=True)
 
     from salt_tpu.eval import alneval
@@ -140,7 +148,8 @@ def main():
     from salt_tpu.pipeline.engine import SEAligner, SEOptions
 
     t0 = time.time()
-    idx = build_index(args.genome, f"{wd}/hapmap.txt", l_seed=args.seed_len)
+    idx = build_index(args.genome, f"{wd}/hapmap_{simtag}.txt",
+                      l_seed=args.seed_len)
     print(f"[harness] index built in {time.time()-t0:.1f}s", flush=True)
 
     recs1 = list(read_records(r1))
