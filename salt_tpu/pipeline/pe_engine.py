@@ -447,6 +447,11 @@ class PEAligner:
         # end0 strand-0 list x end1 strand-1 list; order 1: end1
         # strand-0 x end0 strand-1.  First minimal (nd0+nd1) in
         # (order, j0, j1) iteration order wins (strict < replacement).
+        # The reference loop breaks its inner scan at the first
+        # too-far-right hit; computing the FULL cross product is
+        # equivalent because hit lists are position-ascending (sorted
+        # loci -> order-preserving compaction, ops/verify.py) — the
+        # invariant tests/test_pe_fast_path.py encodes.
         fl_pos = np.stack([hp[:M, 0], hp[M:, 0]])             # (2, M, K)
         fl_nd = np.stack([hnd[:M, 0], hnd[M:, 0]])
         fl_ok = np.stack([appended[:M, 0], appended[M:, 0]])
