@@ -52,9 +52,11 @@ def resolve_sampled(sampled, ri_c, ri_r, rank, is_r, active):
 
     The C and R select/symbol/value tables are concatenated, so each
     iteration pays ONE fused gather per structure with a per-lane
-    family offset; only the rank query itself needs both families'
-    bit-plane tables (the planes are shared with the seeding stage, so
-    concatenating them would double their HBM)."""
+    family offset.  When the rank indexes share one concatenated plane
+    array (RankIndex.row_off — to_device_index builds them that way,
+    no HBM duplication), the rank query is also a single per-lane
+    family-offset gather; standalone indexes fall back to one rank
+    gather per family."""
     from .rank import rank_excl, umin
 
     s = sampled
@@ -90,6 +92,16 @@ def resolve_sampled(sampled, ri_c, ri_r, rank, is_r, active):
     def cond(st):
         return jnp.any(~st[2]) & (st[1].max() < max_steps)
 
+    # the two rank indexes share one concatenated plane array iff
+    # to_device_index fused them (static shapes/offsets -> trace-time
+    # branch); then the walk's rank query is ONE per-lane gather
+    fused_planes = (
+        ri_c.row_off == 0
+        and ri_r.row_off == 5 * ri_c.n_words
+        and ri_c.bc.shape[0] == 5 * ri_c.n_words + 6 * ri_r.n_words
+        and ri_r.bc.shape[0] == ri_c.bc.shape[0]
+    )
+
     def body(st):
         k, steps, done = st
         ku = k.astype(jnp.uint32)
@@ -97,11 +109,35 @@ def resolve_sampled(sampled, ri_c, ri_r, rank, is_r, active):
                      s.syms_cat.shape[0] - 1)
         word = s.syms_cat[w].astype(jnp.uint32)
         sym = ((word >> ((ku & 7) * 4)) & 15).astype(jnp.int32)
-        kc = ri_c.cfreq[jnp.clip(sym, 0, 5)] + rank_excl(
-            ri_c, umin(k, jnp.uint32(n1c)), jnp.clip(sym, 0, 4)) + 1
-        kr = ri_r.cfreq[jnp.clip(sym, 0, 6)] + rank_excl(
-            ri_r, umin(k, jnp.uint32(n1r)), jnp.clip(sym, 0, 5)) + 1
-        kn = umin(jnp.where(is_r, kr, kc), bound)
+        if fused_planes:
+            # single fused rank gather: per-lane (family, symbol, word)
+            # row into the shared plane array.  Arithmetic matches the
+            # per-family rank_excl calls below bit-for-bit.
+            symc = jnp.clip(sym, 0, 4)
+            symr = jnp.clip(sym, 0, 5)
+            iu = jnp.where(is_r, umin(k, jnp.uint32(n1r)),
+                           umin(k, jnp.uint32(n1c))).astype(jnp.uint32)
+            wi = (iu >> 5).astype(jnp.int32)
+            rbit = iu & 31
+            row_idx = jnp.where(
+                is_r, jnp.int32(ri_r.row_off) + symr * ri_r.n_words,
+                symc * ri_c.n_words) + wi
+            row2 = ri_c.bc[row_idx]
+            word2 = row2[..., 1].astype(jnp.uint32)
+            m2 = jnp.where(rbit > 0,
+                           (jnp.uint32(1) << rbit) - jnp.uint32(1),
+                           jnp.uint32(0))
+            cnt = row2[..., 0] + jax.lax.population_count(
+                word2 & m2).astype(jnp.int32)
+            base = jnp.where(is_r, ri_r.cfreq[jnp.clip(sym, 0, 6)],
+                             ri_c.cfreq[jnp.clip(sym, 0, 5)])
+            kn = umin(base + cnt + 1, bound)
+        else:
+            kc = ri_c.cfreq[jnp.clip(sym, 0, 5)] + rank_excl(
+                ri_c, umin(k, jnp.uint32(n1c)), jnp.clip(sym, 0, 4)) + 1
+            kr = ri_r.cfreq[jnp.clip(sym, 0, 6)] + rank_excl(
+                ri_r, umin(k, jnp.uint32(n1r)), jnp.clip(sym, 0, 5)) + 1
+            kn = umin(jnp.where(is_r, kr, kc), bound)
         k = jnp.where(done, k, kn)
         steps = steps + (~done).astype(jnp.int32)
         done = done | is_done(k)

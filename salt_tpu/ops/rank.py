@@ -50,14 +50,21 @@ class RankIndex:
     cfreq: jnp.ndarray
     n: int
     n_words: int
+    # row offset of this family's first plane row within `bc`.  Two
+    # families can SHARE one concatenated plane array (C rows first,
+    # then R rows) so per-lane mixed-family rank queries fuse into a
+    # single gather (ops/locate.resolve_sampled) without duplicating
+    # the planes in HBM; standalone indexes keep row_off = 0.
+    row_off: int = 0
 
     def tree_flatten(self):
-        return (self.bc, self.cfreq), (self.n, self.n_words)
+        return (self.bc, self.cfreq), (self.n, self.n_words, self.row_off)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         bc, cfreq = children
-        return cls(bc=bc, cfreq=cfreq, n=aux[0], n_words=aux[1])
+        return cls(bc=bc, cfreq=cfreq, n=aux[0], n_words=aux[1],
+                   row_off=aux[2])
 
 
 def build_rank_index(
@@ -136,15 +143,16 @@ def build_rank_index_device(packed_words: jnp.ndarray, n: int, n_sym: int,
     )
 
 
-@partial(jax.jit, static_argnames=("c", "n", "n_words", "chunk"))
-def _device_plane_chunked(words: jnp.ndarray, c: int, n: int, n_words: int,
-                          chunk: int = 1 << 18) -> jnp.ndarray:
+def _plane_chunked_core(words: jnp.ndarray, c: int, n: int, n_words: int,
+                        chunk: int = 1 << 18) -> jnp.ndarray:
     """One (W, 2) rank plane for symbol c, built on device in
     `chunk`-bit-word pieces — whole-genome texts (n >= 2^31) cannot
     materialize the flat nibble array the small-path builder uses
     (12GB+ transient), and shipping host-built planes through the relay
     tunnel costs ~1.5n bytes.  The packed symbol words are already a
-    resident component in sampled mode, so this is transfer-free."""
+    resident component in sampled mode, so this is transfer-free.
+    Traced helper — callers jit it (alone or composed into the fused
+    two-family cat build)."""
     W = n_words
     NC = (W + chunk - 1) // chunk
     need = NC * chunk * 4            # uint32 source words (8 syms each)
@@ -176,6 +184,10 @@ def _device_plane_chunked(words: jnp.ndarray, c: int, n: int, n_words: int,
     return jnp.stack([excl, bits.astype(jnp.int32)], axis=-1)
 
 
+_device_plane_chunked = partial(jax.jit, static_argnames=(
+    "c", "n", "n_words", "chunk"))(_plane_chunked_core)
+
+
 def build_rank_index_device_chunked(packed_words: jnp.ndarray, n: int,
                                     n_sym: int,
                                     cfreq: np.ndarray) -> RankIndex:
@@ -194,6 +206,58 @@ def build_rank_index_device_chunked(packed_words: jnp.ndarray, n: int,
     )
 
 
+@partial(jax.jit, static_argnames=("n_a", "n_sym_a", "n_words_a",
+                                  "n_b", "n_sym_b", "n_words_b", "chunk"))
+def _device_planes_cat_chunked(words_a, words_b, n_a, n_sym_a, n_words_a,
+                               n_b, n_sym_b, n_words_b, chunk: int = 1 << 18):
+    """Both families' rank planes in ONE concatenated array (family a's
+    n_sym_a planes first), built in a single jit so XLA writes each
+    plane straight into its slice of the output buffer — peak transient
+    stays one cat array + one chunk, never two separate plane arrays
+    plus their copy (matters at whole-genome scale on a 16GB chip)."""
+    planes = [_plane_chunked_core(words_a, c, n_a, n_words_a, chunk)
+              for c in range(n_sym_a)]
+    planes += [_plane_chunked_core(words_b, c, n_b, n_words_b, chunk)
+               for c in range(n_sym_b)]
+    return jnp.concatenate(planes, axis=0)
+
+
+def build_rank_index_pair_device_chunked(
+    words_c: jnp.ndarray, n_c: int, n_sym_c: int, cfreq_c: np.ndarray,
+    words_r: jnp.ndarray, n_r: int, n_sym_r: int, cfreq_r: np.ndarray,
+):
+    """Two RankIndex views over ONE shared concatenated plane array
+    (C rows first).  rank_excl on either view is bit-identical to the
+    standalone builders; mixed-family per-lane queries can gather from
+    the shared array with a per-lane row offset (one gather instead of
+    one per family — the sampled-SA locate walk's hot path)."""
+    Wc = (n_c + 2 + 31) // 32 + 1
+    Wr = (n_r + 2 + 31) // 32 + 1
+    bc_cat = _device_planes_cat_chunked(
+        words_c, words_r, n_a=n_c, n_sym_a=n_sym_c, n_words_a=Wc,
+        n_b=n_r, n_sym_b=n_sym_r, n_words_b=Wr)
+    ri_c = RankIndex(bc=bc_cat, cfreq=jnp.asarray(
+        np.asarray(cfreq_c).astype(np.int32)), n=n_c, n_words=Wc)
+    ri_r = RankIndex(bc=bc_cat, cfreq=jnp.asarray(
+        np.asarray(cfreq_r).astype(np.int32)), n=n_r, n_words=Wr,
+        row_off=n_sym_c * Wc)
+    return ri_c, ri_r
+
+
+def fuse_rank_index_pair(ri_c: RankIndex, ri_r: RankIndex):
+    """Re-point two standalone RankIndexes at one concatenated plane
+    array (small-index path; the big path builds fused directly)."""
+    assert ri_c.row_off == 0 and ri_r.row_off == 0
+    off = ri_c.bc.shape[0]
+    bc_cat = jnp.concatenate([ri_c.bc, ri_r.bc], axis=0)
+    return (
+        RankIndex(bc=bc_cat, cfreq=ri_c.cfreq, n=ri_c.n,
+                  n_words=ri_c.n_words),
+        RankIndex(bc=bc_cat, cfreq=ri_r.cfreq, n=ri_r.n,
+                  n_words=ri_r.n_words, row_off=off),
+    )
+
+
 def rank_excl(ri: RankIndex, idx: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     """Vectorized exclusive rank: #c in sym[0..idx-1].
 
@@ -205,7 +269,7 @@ def rank_excl(ri: RankIndex, idx: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     iu = idx.astype(jnp.uint32)
     w = (iu >> 5).astype(jnp.int32)          # < 2^27 for any uint32 text
     r = iu & 31
-    row = ri.bc[c * ri.n_words + w]         # (..., 2): one fused 1D gather
+    row = ri.bc[ri.row_off + c * ri.n_words + w]  # (..., 2): one fused gather
     word = row[..., 1].astype(jnp.uint32)
     mask = jnp.where(r > 0, (jnp.uint32(1) << r) - jnp.uint32(1), jnp.uint32(0))
     partial_cnt = jax.lax.population_count(word & mask).astype(jnp.int32)

@@ -143,7 +143,15 @@ def stack_indexes(shard_indexes: List[SaltIndex], bins, contig_data=None,
 
     def stack_rank(g):
         rs = [g(d) for d in dixes]
-        bc = [np.asarray(r.bc) for r in rs]
+        # per-shard indexes may share one fused C+R plane array
+        # (RankIndex.row_off); slice this family's own rows out of it
+        # (n_sym = len(cfreq) - 1: the padding slot is not a plane)
+        bc = [
+            np.asarray(r.bc)[
+                r.row_off : r.row_off + (r.cfreq.shape[0] - 1) * r.n_words
+            ]
+            for r in rs
+        ]
         W = max(r.n_words for r in rs)
         bc_resh = []
         for r, b in zip(rs, bc):

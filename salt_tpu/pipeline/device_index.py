@@ -328,26 +328,33 @@ def to_device_index(idx: SaltIndex, sa_mode: str = "full",
     # pay an enormous device walk (advisor finding, round 3)
     small = (max(n1c, n1r) <= _DERIVE_SA_MAX
              and idx.sharp_bases is not None)
+    # both paths produce FUSED rank indexes: one concatenated plane
+    # array shared by the C and R views (RankIndex.row_off), so the
+    # sampled-SA locate walk pays one rank gather per step instead of
+    # one per family — same HBM, one buffer
     if small:
         # transfer-lean load: ship the 4-bit packed BWTs (n/2 bytes) and
         # build the rank planes on device
+        from ..ops.rank import fuse_rank_index_pair
+
         ri_c = build_rank_index_device(
             jnp.asarray(_pack4(idx.cbwt)), len(idx.cbwt), 5,
             np.append(idx.c_l2, 0))
         ri_r = build_rank_index_device(
             jnp.asarray(_pack4(idx.rbwt)), len(idx.rbwt), 6,
             np.append(idx.r_cumfreq, 0))
+        ri_c, ri_r = fuse_rank_index_pair(ri_c, ri_r)
     else:
         # big indexes (up to whole-genome): still ship only the packed
         # syms (n/2 bytes) and build planes on device, chunked so the
         # transient stays bounded — host-built planes would triple the
-        # relay-tunnel transfer (~1.5n bytes)
-        from ..ops.rank import build_rank_index_device_chunked
+        # relay-tunnel transfer (~1.5n bytes).  Built fused in one jit:
+        # each plane lands in its slice of the one cat buffer.
+        from ..ops.rank import build_rank_index_pair_device_chunked
 
-        ri_c = build_rank_index_device_chunked(
+        ri_c, ri_r = build_rank_index_pair_device_chunked(
             jnp.asarray(_pack4(idx.cbwt)), len(idx.cbwt), 5,
-            np.append(idx.c_l2, 0))
-        ri_r = build_rank_index_device_chunked(
+            np.append(idx.c_l2, 0),
             jnp.asarray(_pack4(idx.rbwt)), len(idx.rbwt), 6,
             np.append(idx.r_cumfreq, 0))
     if idx.r_lkt_sp is None:
