@@ -66,6 +66,49 @@ def test_resolver_matches_full_tables(anchor):
     assert len(bad) == 0, (bad[:5], got[bad[:5]], want[bad[:5]])
 
 
+def test_fused_planes_match_standalone_walk():
+    """The single-gather fused-plane branch of resolve_sampled must be
+    bit-identical to the per-family two-gather fallback, and the fused
+    chunked plane builder must reproduce the standalone builders."""
+    from salt_tpu.ops.rank import (RankIndex, build_rank_index_device,
+                                   build_rank_index_pair_device_chunked)
+    from salt_tpu.pipeline.device_index import _pack4
+
+    rng = np.random.default_rng(11)
+    idx, _seq = _fixture(seed=23)
+    dix, sampled = to_device_index(idx, sa_mode="sampled")
+    # dix.ri_c / ri_r are fused (shared cat, row_off); rebuild standalone
+    ri_c_solo = build_rank_index_device(
+        jnp.asarray(_pack4(idx.cbwt)), len(idx.cbwt), 5,
+        np.append(idx.c_l2, 0))
+    ri_r_solo = build_rank_index_device(
+        jnp.asarray(_pack4(idx.rbwt)), len(idx.rbwt), 6,
+        np.append(idx.r_cumfreq, 0))
+    assert dix.ri_r.row_off == 5 * dix.ri_c.n_words  # fused mode active
+
+    # fused chunked builder == standalone plane arrays, laid out C-then-R
+    fc, fr = build_rank_index_pair_device_chunked(
+        jnp.asarray(_pack4(idx.cbwt)), len(idx.cbwt), 5,
+        np.append(idx.c_l2, 0),
+        jnp.asarray(_pack4(idx.rbwt)), len(idx.rbwt), 6,
+        np.append(idx.r_cumfreq, 0))
+    cat = np.asarray(fc.bc)
+    assert np.array_equal(cat[: fr.row_off], np.asarray(ri_c_solo.bc))
+    assert np.array_equal(cat[fr.row_off :], np.asarray(ri_r_solo.bc))
+
+    B = 512
+    ranks_c = rng.integers(1, len(idx.csa), B).astype(np.int32)
+    ranks_r = rng.integers(1, len(idx.r_coord), B).astype(np.int32)
+    rank = jnp.asarray(np.concatenate([ranks_c, ranks_r]))
+    is_r = jnp.asarray(np.concatenate([np.zeros(B, bool), np.ones(B, bool)]))
+    active = jnp.ones(2 * B, bool)
+    got_fused = np.asarray(resolve_sampled(
+        sampled, dix.ri_c, dix.ri_r, rank, is_r, active))
+    got_solo = np.asarray(resolve_sampled(
+        sampled, ri_c_solo, ri_r_solo, rank, is_r, active))
+    assert np.array_equal(got_fused, got_solo)
+
+
 def test_se_output_identical_full_vs_sampled(tmp_path):
     from salt_tpu.sim.wgsim import SimParams, simulate
 
